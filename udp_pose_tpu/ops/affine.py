@@ -1,0 +1,215 @@
+"""UDP (Unbiased Data Processing) affine geometry, TPU-native.
+
+The reference implements the UDP crop as a per-sample ``cv2.warpAffine`` with
+``WARP_INVERSE_MAP`` driven by ``get_warpmatrix``
+(reference: deep_hrnet/lib/dataset/JointsDataset.py:29-49, :226-228) and maps
+joints with ``rotate_points`` (:51-73).  Here the warp matrix is closed-form
+``jnp`` math and the warp itself is one batched bilinear-gather, vmap/jit
+friendly, so an entire batch of crops is produced on-device in one XLA op
+(no per-sample host OpenCV work).
+
+Coordinate convention (UDP): the continuous image spans ``size - 1`` pixel
+*intervals*; unit lengths are measured between pixel centres.  Matrices map
+**destination pixel → source pixel** (the `WARP_INVERSE_MAP` convention), so
+sampling is a pure gather with no matrix inversion at warp time.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PIXEL_STD = 200.0  # reference: JointsDataset.py:78 (`self.pixel_std = 200`)
+
+
+def udp_warp_matrix(rot_deg, center, scale, out_size_wh):
+    """Destination→source affine matrix for the UDP crop.
+
+    Equivalent to reference ``get_warpmatrix(r, c*2.0, image_size-1.0, s)``
+    (JointsDataset.py:29-49 with the call at :226): ``rot_deg`` in degrees,
+    ``center`` (2,) source-space crop centre, ``scale`` (2,) box size / 200,
+    ``out_size_wh`` static (w, h) of the destination patch.
+
+    Returns (2, 3) float32 matrix ``M`` with ``src_xy = M @ [dst_x, dst_y, 1]``.
+    """
+    center = jnp.asarray(center, jnp.float32)
+    scale = jnp.asarray(scale, jnp.float32)
+    theta = jnp.asarray(rot_deg, jnp.float32) * (math.pi / 180.0)
+    s200 = scale * PIXEL_STD
+    dst_w = float(out_size_wh[0]) - 1.0
+    dst_h = float(out_size_wh[1]) - 1.0
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    sx = s200[0] / dst_w
+    sy = s200[1] / dst_h
+    row0 = jnp.stack([
+        cos * sx,
+        sin * sy,
+        -0.5 * s200[0] * cos - 0.5 * s200[1] * sin + center[0],
+    ])
+    row1 = jnp.stack([
+        -sin * sx,
+        cos * sy,
+        0.5 * s200[0] * sin - 0.5 * s200[1] * cos + center[1],
+    ])
+    return jnp.stack([row0, row1])
+
+
+def udp_rotate_joints(joints_xy, rot_deg, center, scale, out_size_wh,
+                      do_clip=False):
+    """Map source-space joints into UDP crop space.
+
+    Parity with reference ``rotate_points`` (JointsDataset.py:51-73) as called
+    from ``__getitem__`` (:228).  ``joints_xy`` is (..., 2).  ``out_size_wh``
+    is the static (w, h) of the crop.  When ``do_clip`` is set, x is clipped
+    to [0, w-1] and y to [0, h-1] (the reference's clip indexes its
+    ``dst_img_shape`` inconsistently; the call that matters passes
+    ``do_clip=False`` so crops are unaffected — we use the sane w/h order).
+    """
+    joints_xy = jnp.asarray(joints_xy, jnp.float32)
+    center = jnp.asarray(center, jnp.float32)
+    s200 = jnp.asarray(scale, jnp.float32) * PIXEL_STD
+    w, h = float(out_size_wh[0]), float(out_size_wh[1])
+    radian = jnp.asarray(rot_deg, jnp.float32) * (math.pi / 180.0)
+    sin_n, cos = -jnp.sin(radian), jnp.cos(radian)
+    rel = joints_xy - center
+    x = cos * rel[..., 0] + sin_n * rel[..., 1]
+    y = -sin_n * rel[..., 0] + cos * rel[..., 1]
+    x = (x + s200[0] * 0.5) * ((w - 1.0) / s200[0])
+    y = (y + s200[1] * 0.5) * ((h - 1.0) / s200[1])
+    if do_clip:
+        x = jnp.clip(x, 0.0, w - 1.0)
+        y = jnp.clip(y, 0.0, h - 1.0)
+    return jnp.stack([x, y], axis=-1)
+
+
+def classic_affine_matrix(center, scale, rot_deg, out_size_wh, inv=False,
+                          shift=(0.0, 0.0)):
+    """The classic (non-UDP) 3-point affine transform, in closed form.
+
+    Matches reference ``get_affine_transform``
+    (deep_hrnet/lib/utils/transforms.py:77-109): crop box of size
+    ``scale*200`` centred at ``center``, rotated by ``rot_deg``, mapped onto
+    ``out_size_wh`` so that the box width spans the full output width; the
+    output y-scale equals the x-scale (aspect preserved by construction of the
+    3rd point).  ``inv=False`` gives source→destination (what cv2.warpAffine
+    uses *without* WARP_INVERSE_MAP); ``inv=True`` the reverse.
+
+    Returns a (2, 3) float32 matrix.
+    """
+    center = jnp.asarray(center, jnp.float32)
+    s200 = jnp.asarray(scale, jnp.float32) * PIXEL_STD
+    shift = jnp.asarray(shift, jnp.float32)
+    dst_w, dst_h = float(out_size_wh[0]), float(out_size_wh[1])
+    rot = jnp.asarray(rot_deg, jnp.float32) * (math.pi / 180.0)
+    sin, cos = jnp.sin(rot), jnp.cos(rot)
+    # src triangle: centre, centre + rotated [0, -src_w/2], + orthogonal 3rd pt
+    src_w = s200[0]
+    src0 = center + s200 * shift
+    src_dir = jnp.stack([src_w * 0.5 * sin, -src_w * 0.5 * cos])
+    src1 = src0 + src_dir
+    src2 = src1 + jnp.stack([-(src0 - src1)[1], (src0 - src1)[0]])
+    dst0 = jnp.asarray([dst_w * 0.5, dst_h * 0.5], jnp.float32)
+    dst1 = dst0 + jnp.asarray([0.0, -dst_w * 0.5], jnp.float32)
+    dst2 = dst1 + jnp.stack([-(dst0 - dst1)[1], (dst0 - dst1)[0]])
+    src = jnp.stack([src0, src1, src2])  # (3,2)
+    dst = jnp.stack([dst0, dst1, dst2])
+    if inv:
+        src, dst = dst, src
+    # Solve A @ [x,y,1]^T = dst for the 2x3 A: dst^T = A @ src_h^T
+    src_h = jnp.concatenate([src, jnp.ones((3, 1), jnp.float32)], axis=1)
+    sol = jnp.linalg.solve(src_h, dst)  # (3,2): rows are [a,b,c] columns
+    return sol.T  # (2,3)
+
+
+def apply_affine(points_xy, matrix):
+    """Apply a (2,3) affine matrix to (..., 2) points."""
+    points_xy = jnp.asarray(points_xy, jnp.float32)
+    return points_xy @ matrix[:, :2].T + matrix[:, 2]
+
+
+@partial(jax.jit, static_argnames=("out_hw",))
+def warp_affine(image, matrix, out_hw):
+    """Bilinear warp of one image with a dst→src matrix (cv2 parity).
+
+    ``image`` (H, W, C) float; ``matrix`` (2, 3) destination→source (i.e. the
+    `WARP_INVERSE_MAP` convention of reference JointsDataset.py:227);
+    ``out_hw`` static (out_h, out_w).  Out-of-bounds samples are 0
+    (cv2 BORDER_CONSTANT default).  Pure gather: vmap over matrices to warp
+    many boxes out of one frame, or over (image, matrix) pairs for batches.
+    """
+    out_h, out_w = out_hw
+    H, W = image.shape[0], image.shape[1]
+    dst_x = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 1)
+    dst_y = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 0)
+    src_x = matrix[0, 0] * dst_x + matrix[0, 1] * dst_y + matrix[0, 2]
+    src_y = matrix[1, 0] * dst_x + matrix[1, 1] * dst_y + matrix[1, 2]
+    return _bilinear_gather(image, src_x, src_y, H, W)
+
+
+def _bilinear_gather(image, src_x, src_y, H, W):
+    """Sample ``image`` (H,W,C) at float coords with zero padding outside."""
+    x0 = jnp.floor(src_x)
+    y0 = jnp.floor(src_y)
+    fx = src_x - x0
+    fy = src_y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def tap(yi, xi):
+        inb = ((xi >= 0) & (xi < W) & (yi >= 0) & (yi < H))
+        xi_c = jnp.clip(xi, 0, W - 1)
+        yi_c = jnp.clip(yi, 0, H - 1)
+        flat = image.reshape(H * W, -1)
+        vals = jnp.take(flat, yi_c * W + xi_c, axis=0)
+        return vals * inb[..., None].astype(image.dtype)
+
+    w00 = ((1 - fx) * (1 - fy))[..., None]
+    w01 = (fx * (1 - fy))[..., None]
+    w10 = ((1 - fx) * fy)[..., None]
+    w11 = (fx * fy)[..., None]
+    out = (tap(y0i, x0i) * w00 + tap(y0i, x0i + 1) * w01 +
+           tap(y0i + 1, x0i) * w10 + tap(y0i + 1, x0i + 1) * w11)
+    return out
+
+
+@partial(jax.jit, static_argnames=("out_hw",))
+def warp_affine_batch(images, matrices, out_hw):
+    """vmap of :func:`warp_affine` over leading batch dim of both args."""
+    return jax.vmap(lambda im, m: warp_affine(im, m, out_hw))(images, matrices)
+
+
+@partial(jax.jit, static_argnames=("out_hw",))
+def crop_boxes(image, matrices, out_hw):
+    """Warp many boxes out of a single frame: (N,2,3) matrices → (N,h,w,C).
+
+    This is the detect-then-pose hot path (reference pose_engine.py:73-80
+    loops cv2.warpAffine per person; here all persons gather from the same
+    HBM-resident frame in one op).
+    """
+    return jax.vmap(lambda m: warp_affine(image, m, out_hw))(matrices)
+
+
+# ---------------------------------------------------------------------------
+# numpy twins (host-side, for data-pipeline workers and golden tests)
+# ---------------------------------------------------------------------------
+
+def udp_warp_matrix_np(rot_deg, center, scale, out_size_wh):
+    """Host-side numpy twin of :func:`udp_warp_matrix`."""
+    theta = float(rot_deg) / 180.0 * math.pi
+    s200 = np.asarray(scale, np.float64) * PIXEL_STD
+    dst_w = float(out_size_wh[0]) - 1.0
+    dst_h = float(out_size_wh[1]) - 1.0
+    m = np.zeros((2, 3), np.float32)
+    m[0, 0] = math.cos(theta) * s200[0] / dst_w
+    m[0, 1] = math.sin(theta) * s200[1] / dst_h
+    m[0, 2] = (-0.5 * s200[0] * math.cos(theta)
+               - 0.5 * s200[1] * math.sin(theta) + center[0])
+    m[1, 0] = -math.sin(theta) * s200[0] / dst_w
+    m[1, 1] = math.cos(theta) * s200[1] / dst_h
+    m[1, 2] = (0.5 * s200[0] * math.sin(theta)
+               - 0.5 * s200[1] * math.cos(theta) + center[1])
+    return m
