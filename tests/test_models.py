@@ -1,0 +1,125 @@
+"""Model zoo: shape, param-count, and config-surface tests.
+
+Param counts are checked against the reference's published numbers
+(BASELINE.md: pose_resnet_50+UDP 34.2M, pose_hrnet_w32+UDP 28.7M) — a strong
+structural-parity signal without weights.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from udp_pose_tpu.config import default_config
+from udp_pose_tpu.models import build_model
+
+HRNET_W32_EXTRA = {
+    "FINAL_CONV_KERNEL": 1,
+    "PRETRAINED_LAYERS": ["*"],
+    "STAGE2": {"NUM_MODULES": 1, "NUM_BRANCHES": 2, "BLOCK": "BASIC",
+               "NUM_BLOCKS": [4, 4], "NUM_CHANNELS": [32, 64],
+               "FUSE_METHOD": "SUM"},
+    "STAGE3": {"NUM_MODULES": 4, "NUM_BRANCHES": 3, "BLOCK": "BASIC",
+               "NUM_BLOCKS": [4, 4, 4], "NUM_CHANNELS": [32, 64, 128],
+               "FUSE_METHOD": "SUM"},
+    "STAGE4": {"NUM_MODULES": 3, "NUM_BRANCHES": 4, "BLOCK": "BASIC",
+               "NUM_BLOCKS": [4, 4, 4, 4],
+               "NUM_CHANNELS": [32, 64, 128, 256], "FUSE_METHOD": "SUM"},
+}
+
+
+def _resnet_cfg(target_type="gaussian", layers=50):
+    cfg = default_config()
+    cfg.MODEL.NAME = "pose_resnet"
+    cfg.MODEL.TARGET_TYPE = target_type
+    cfg.MODEL.IMAGE_SIZE = [192, 256]
+    cfg.MODEL.HEATMAP_SIZE = [48, 64]
+    cfg.MODEL.EXTRA.NUM_LAYERS = layers
+    cfg.MODEL.EXTRA.NUM_DECONV_LAYERS = 3
+    cfg.MODEL.EXTRA.NUM_DECONV_FILTERS = [256, 256, 256]
+    cfg.MODEL.EXTRA.NUM_DECONV_KERNELS = [4, 4, 4]
+    cfg.MODEL.EXTRA.DECONV_WITH_BIAS = False
+    cfg.MODEL.EXTRA.FINAL_CONV_KERNEL = 1
+    cfg.TPU.DTYPE = "float32"
+    return cfg
+
+
+def _hrnet_cfg(target_type="gaussian", psa=False):
+    cfg = default_config()
+    cfg.MODEL.NAME = "pose_hrnet_psa" if psa else "pose_hrnet"
+    cfg.MODEL.TARGET_TYPE = target_type
+    cfg.MODEL.IMAGE_SIZE = [192, 256]
+    cfg.MODEL.HEATMAP_SIZE = [48, 64]
+    cfg.MODEL.EXTRA.merge_from_dict(HRNET_W32_EXTRA)
+    cfg.TPU.DTYPE = "float32"
+    return cfg
+
+
+def _n_params(variables):
+    return sum(np.prod(p.shape) for p in
+               jax.tree_util.tree_leaves(variables["params"]))
+
+
+def test_pose_resnet50_shapes_and_params():
+    cfg = _resnet_cfg()
+    model = build_model(cfg)
+    x = jnp.zeros((1, 256, 192, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (1, 64, 48, 17)
+    n = _n_params(variables)
+    # reference: 34.0M (gaussian head) per BASELINE.md ResNet-50 row
+    assert abs(n - 34.0e6) / 34.0e6 < 0.01, n
+
+
+def test_pose_resnet50_offset_head():
+    cfg = _resnet_cfg(target_type="offset")
+    model = build_model(cfg)
+    x = jnp.zeros((1, 256, 192, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (1, 64, 48, 51)
+    n = _n_params(variables)
+    assert abs(n - 34.2e6) / 34.2e6 < 0.01, n
+
+
+def test_pose_hrnet_w32_shapes_and_params():
+    cfg = _hrnet_cfg(target_type="offset")
+    model = build_model(cfg)
+    x = jnp.zeros((1, 256, 192, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (1, 64, 48, 51)
+    n = _n_params(variables)
+    # reference: 28.7M params for pose_hrnet_w32 + UDP offset (BASELINE.md)
+    assert abs(n - 28.7e6) / 28.7e6 < 0.01, n
+
+
+def test_pose_hrnet_psa_builds_and_runs():
+    cfg = _hrnet_cfg(psa=True)
+    model = build_model(cfg)
+    x = jnp.zeros((2, 128, 96, 3))   # small (but /32-divisible) input
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (2, 32, 24, 17)
+
+
+def test_train_mode_updates_batch_stats():
+    cfg = _resnet_cfg(layers=18)
+    model = build_model(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 48, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out, mutated = model.apply(variables, x, train=True,
+                               mutable=["batch_stats"])
+    assert "batch_stats" in mutated
+    leaves_before = jax.tree_util.tree_leaves(variables["batch_stats"])
+    leaves_after = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    assert any(not np.allclose(a, b)
+               for a, b in zip(leaves_before, leaves_after))
+
+
+def test_unknown_model_raises():
+    cfg = _resnet_cfg()
+    cfg.MODEL.NAME = "nope"
+    with pytest.raises(KeyError):
+        build_model(cfg)
