@@ -1,0 +1,72 @@
+"""Inference pipeline: one jit graph from normalised crops to keypoints.
+
+Replaces the reference validate hot loop (deep_hrnet/lib/core/function.py:
+139-217): flip-test is *folded into the batch* (one forward on 2B crops
+instead of two sequential forwards with a host round-trip per batch —
+reference :151-171 flips on CPU numpy), the un-flip is a channel permute in
+the graph (ops/flip.py), and decode (ops/decode.py) fuses right after.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.decode import get_final_preds
+from ..ops.flip import flip_back, flip_back_offset
+from .train import normalize_images
+
+# COCO flip pairs (deep_hrnet/lib/dataset/coco.py:91-92)
+COCO_FLIP_PAIRS = ((1, 2), (3, 4), (5, 6), (7, 8), (9, 10), (11, 12),
+                   (13, 14), (15, 16))
+# MPII flip pairs (deep_hrnet/lib/dataset/mpii.py)
+MPII_FLIP_PAIRS = ((0, 5), (1, 4), (2, 3), (10, 15), (11, 14), (12, 13))
+
+
+def make_infer_fn(model, *, target_type: str = "gaussian",
+                  flip_test: bool = True, post_process: bool = True,
+                  kpd: float = 4.0,
+                  flip_pairs: Sequence = COCO_FLIP_PAIRS,
+                  normalize: bool = True):
+    """Build ``infer(variables, images, center, scale) -> (preds, maxvals)``.
+
+    ``images``: (B, H, W, 3) RGB crops — raw [0,255] if ``normalize`` else
+    already normalised.  Output coords are source-image space.
+    """
+    pairs = tuple(tuple(p) for p in flip_pairs)
+
+    @jax.jit
+    def infer(variables, images, center, scale):
+        x = normalize_images(images) if normalize else images
+        B = x.shape[0]
+        if flip_test:
+            x = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0)
+        out = model.apply(variables, x, train=False)
+        hm = out.transpose(0, 3, 1, 2).astype(jnp.float32)
+        if flip_test:
+            hm, hm_f = hm[:B], hm[B:]
+            if target_type == "offset":
+                hm_f = flip_back_offset(hm_f, pairs)
+            else:
+                hm_f = flip_back(hm_f, pairs)
+            hm = (hm + hm_f) * 0.5
+        preds, maxvals, _ = get_final_preds(
+            hm, center, scale, target_type=target_type,
+            post_process=post_process, kpd=kpd)
+        return preds, maxvals, hm
+
+    return infer
+
+
+def make_infer_fn_from_cfg(model, cfg, flip_pairs=COCO_FLIP_PAIRS):
+    return make_infer_fn(
+        model,
+        target_type=cfg.MODEL.TARGET_TYPE,
+        flip_test=cfg.TEST.FLIP_TEST,
+        post_process=cfg.TEST.POST_PROCESS,
+        kpd=cfg.LOSS.KPD,
+        flip_pairs=flip_pairs,
+    )

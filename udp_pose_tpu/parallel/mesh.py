@@ -1,0 +1,51 @@
+"""Mesh construction and sharding helpers.
+
+Design (SURVEY.md §2.4 TPU-native mapping): a 2-D mesh ``('data', 'model')``.
+The batch dim of images/targets shards over ``data``; params/opt-state
+replicate (pure data parallelism — these are <70M-param CNNs, the weights
+fit everywhere and replication keeps all collectives to one grad psum over
+ICI).  The ``model`` axis is there for spatial sharding of oversized inputs
+(bottom-up 512×512+) — GSPMD handles conv halo exchange when H is sharded.
+
+BatchNorm note: batch stats are computed inside jit over the *globally*
+sharded batch axis, so XLA inserts the cross-replica mean — strictly better
+than the reference's per-GPU stats under DataParallel.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    """Build a ('data', 'model') mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None or n_data < 0:
+        n_data = len(devices) // n_model
+    devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(devs, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) dim over 'data'; everything else replicated."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Device-put every array in a pytree with batch-dim sharding."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def data_parallel_shardings(mesh: Mesh):
+    """(state_sharding, batch_sharding) pair for pjit'ing a train step."""
+    return replicated(mesh), batch_sharding(mesh)
