@@ -1,0 +1,68 @@
+"""Evaluation CLI (parity: deep_hrnet/tools/test.py).
+
+Usage:  python tools/test.py --cfg <experiment.yaml> [KEY VALUE ...]
+Loads TEST.MODEL_FILE (msgpack weights) or final_state.msgpack from the run
+dir, runs the flip-test validate loop, prints the AP table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Test keypoint network (TPU)")
+    p.add_argument("--cfg", required=True, type=str)
+    p.add_argument("--modelDir", type=str, default="")
+    p.add_argument("--logDir", type=str, default="")
+    p.add_argument("--dataDir", type=str, default="")
+    p.add_argument("opts", nargs=argparse.REMAINDER)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from udp_pose_tpu.config import default_config, update_config
+    cfg = default_config()
+    update_config(cfg, args)
+
+    from udp_pose_tpu.utils.platform import maybe_force_platform
+    maybe_force_platform()
+    import jax
+    from udp_pose_tpu.core.validate import validate
+    from udp_pose_tpu.data import build_dataset
+    from udp_pose_tpu.models import build_model
+    from udp_pose_tpu.utils.checkpoint import load_weights
+    from udp_pose_tpu.utils.logging import create_logger, print_name_value
+
+    logger, final_output_dir, _ = create_logger(cfg, args.cfg, "valid")
+    model = build_model(cfg)
+    val_ds = build_dataset(cfg, is_train=False)
+
+    if cfg.TEST.MODEL_FILE:
+        weight_file = cfg.TEST.MODEL_FILE
+    else:
+        weight_file = os.path.join(final_output_dir, "final_state.msgpack")
+    logger.info(f"=> loading model from {weight_file}")
+    if os.path.exists(weight_file):
+        variables = load_weights(weight_file)
+    else:
+        logger.warning("=> no weights found; evaluating a fresh init "
+                       "(smoke mode)")
+        import jax.numpy as jnp
+        w, h = cfg.MODEL.IMAGE_SIZE
+        variables = jax.jit(lambda r: model.init(
+            r, jnp.zeros((1, h, w, 3)), train=False))(jax.random.PRNGKey(0))
+
+    name_values, perf = validate(cfg, val_ds, model, variables,
+                                 final_output_dir)
+    print_name_value(logger, name_values, cfg.MODEL.NAME)
+    logger.info(f"=> perf: {perf:.4f}")
+
+
+if __name__ == "__main__":
+    main()

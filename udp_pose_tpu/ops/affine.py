@@ -197,6 +197,26 @@ def crop_boxes(image, matrices, out_hw):
 # numpy twins (host-side, for data-pipeline workers and golden tests)
 # ---------------------------------------------------------------------------
 
+def udp_rotate_joints_np(joints_xy, rot_deg, center, scale, out_size_wh,
+                         do_clip=False):
+    """Host twin of :func:`udp_rotate_joints` (JointsDataset.py:51-73)."""
+    joints_xy = np.asarray(joints_xy, np.float64)
+    center = np.asarray(center, np.float64)
+    s200 = np.asarray(scale, np.float64) * PIXEL_STD
+    w, h = float(out_size_wh[0]), float(out_size_wh[1])
+    radian = float(rot_deg) / 180.0 * math.pi
+    sin_n, cos = -math.sin(radian), math.cos(radian)
+    rel = joints_xy - center
+    x = cos * rel[..., 0] + sin_n * rel[..., 1]
+    y = -sin_n * rel[..., 0] + cos * rel[..., 1]
+    x = (x + s200[0] * 0.5) * ((w - 1.0) / s200[0])
+    y = (y + s200[1] * 0.5) * ((h - 1.0) / s200[1])
+    if do_clip:
+        x = np.clip(x, 0.0, w - 1.0)
+        y = np.clip(y, 0.0, h - 1.0)
+    return np.stack([x, y], axis=-1)
+
+
 def udp_warp_matrix_np(rot_deg, center, scale, out_size_wh):
     """Host-side numpy twin of :func:`udp_warp_matrix`."""
     theta = float(rot_deg) / 180.0 * math.pi

@@ -124,6 +124,30 @@ def batch_offset_targets(joints, joints_vis, heatmap_size, image_size, kpd):
 # by host-side data workers that overlap target generation with TPU compute.
 # ---------------------------------------------------------------------------
 
+def offset_targets_np(joints, joints_vis, heatmap_size, image_size, kpd):
+    """Host twin of :func:`offset_targets` (JointsDataset.py:349-381)."""
+    W, H = int(heatmap_size[0]), int(heatmap_size[1])
+    J = joints.shape[0]
+    vis = np.asarray(joints_vis, np.float32)
+    if vis.ndim == 2:
+        vis = vis[:, 0]
+    target = np.zeros((J, 3, H * W), np.float32)
+    fx, fy = np.meshgrid(np.arange(W), np.arange(H))
+    fx, fy = fx.ravel(), fy.ravel()
+    stride = (np.asarray(image_size, np.float64) - 1.0) / (
+        np.asarray(heatmap_size, np.float64) - 1.0)
+    for j in range(J):
+        if vis[j] <= 0.5:
+            continue
+        xo = (joints[j][0] / stride[0] - fx) / kpd
+        yo = (joints[j][1] / stride[1] - fy) / kpd
+        keep = (xo ** 2 + yo ** 2) <= 1
+        target[j, 0, keep] = 1
+        target[j, 1, keep] = xo[keep]
+        target[j, 2, keep] = yo[keep]
+    return target.reshape(J * 3, H, W), vis.copy()
+
+
 def gaussian_targets_np(joints, joints_vis, heatmap_size, image_size, sigma):
     """Direct numpy replication of JointsDataset.py:301-348 semantics."""
     W, H = int(heatmap_size[0]), int(heatmap_size[1])
