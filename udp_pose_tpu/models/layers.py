@@ -43,8 +43,8 @@ class ConvBN(nn.Module):
 
 
 class BasicBlock(nn.Module):
-    """3x3-3x3 residual block (pose_hrnet.py:29-59), optional PSA insert
-    after conv2 (pose_hrnet_psa.py:37,:49)."""
+    """3x3-3x3 residual block (pose_hrnet.py:29-59); optional PSA insert
+    ``deattn`` between conv1 and conv2 (pose_hrnet_psa.py:37,:49)."""
     planes: int
     stride: int = 1
     downsample: bool = False
@@ -57,11 +57,11 @@ class BasicBlock(nn.Module):
         residual = x
         out = ConvBN(self.planes, 3, self.stride, relu=True,
                      dtype=self.dtype, name="cb1")(x, train)
-        out = ConvBN(self.planes, 3, 1, relu=False,
-                     dtype=self.dtype, name="cb2")(out, train)
         if self.attention is not None:
             out = self.attention(self.planes, dtype=self.dtype,
-                                 name="attn")(out)
+                                 name="deattn")(out)
+        out = ConvBN(self.planes, 3, 1, relu=False,
+                     dtype=self.dtype, name="cb2")(out, train)
         if self.downsample:
             residual = ConvBN(self.planes, 1, self.stride, relu=False,
                               dtype=self.dtype, name="down")(x, train)

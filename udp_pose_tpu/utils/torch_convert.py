@@ -1,0 +1,257 @@
+"""PyTorch → Flax weight conversion for the published ``.pth`` zoo.
+
+The reference distributes torch checkpoints (README model zoo); bit-level
+output parity requires loading them into the Flax models.  Layout rules
+(verified numerically against torch in tests/test_torch_convert.py):
+
+* Conv2d          (O,I,kh,kw)  → kernel (kh,kw,I,O)
+* ConvTranspose2d (I,O,kh,kw)  → spatial flip + transpose → (kh,kw,I,O)
+  (flax ConvTranspose with ``transpose_kernel=False``)
+* BatchNorm2d     weight/bias → scale/bias; running stats → batch_stats
+* LayerNorm       weight/bias → scale/bias
+* ``module.`` DataParallel prefixes are stripped (pose_engine.py:108-117).
+
+Each family has a key-translation function torch-name → flax path; the
+assembled tree is shape-checked against a freshly-initialised model.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def load_torch_state_dict(path):
+    """Load a .pth (weights or checkpoint dict) into {name: np.ndarray}."""
+    import torch
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(blob, dict) and "state_dict" in blob:
+        blob = blob["state_dict"]
+    if isinstance(blob, dict) and "best_state_dict" in blob:
+        blob = blob["best_state_dict"]
+    out = {}
+    for k, v in blob.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        out[k] = v.detach().cpu().numpy()
+    return out
+
+
+def conv_kernel(w):
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def convT_kernel(w):
+    return np.ascontiguousarray(
+        np.transpose(w[:, :, ::-1, ::-1], (2, 3, 0, 1)))
+
+
+def _set(tree, path, value):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = np.asarray(value)
+
+
+class Converter:
+    """Accumulates (flax_path ← torch_key) assignments into variables."""
+
+    def __init__(self, sd: Dict[str, np.ndarray]):
+        self.sd = sd
+        self.params: dict = {}
+        self.stats: dict = {}
+        self.used = set()
+
+    def conv(self, tkey: str, *path, transposed=False, bias=False):
+        w = self.sd[tkey + ".weight"]
+        self.used.add(tkey + ".weight")
+        kernel = convT_kernel(w) if transposed else conv_kernel(w)
+        _set(self.params, (*path, "kernel"), kernel)
+        if bias or (tkey + ".bias") in self.sd:
+            if (tkey + ".bias") in self.sd:
+                _set(self.params, (*path, "bias"), self.sd[tkey + ".bias"])
+                self.used.add(tkey + ".bias")
+
+    def bn(self, tkey: str, *path):
+        for tsuf, (tree, fsuf) in {
+            "weight": (self.params, "scale"), "bias": (self.params, "bias"),
+            "running_mean": (self.stats, "mean"),
+            "running_var": (self.stats, "var"),
+        }.items():
+            _set(tree, (*path, fsuf), self.sd[f"{tkey}.{tsuf}"])
+            self.used.add(f"{tkey}.{tsuf}")
+
+    def ln(self, tkey: str, *path):
+        _set(self.params, (*path, "scale"), self.sd[tkey + ".weight"].reshape(-1))
+        _set(self.params, (*path, "bias"), self.sd[tkey + ".bias"].reshape(-1))
+        self.used.update({tkey + ".weight", tkey + ".bias"})
+
+    def variables(self):
+        return {"params": self.params, "batch_stats": self.stats}
+
+    def unused(self):
+        return sorted(k for k in self.sd
+                      if k not in self.used
+                      and "num_batches_tracked" not in k)
+
+
+def _convert_psa(cv: Converter, tprefix: str, *path):
+    """PSA_s weights (PSA.py:146-269)."""
+    for name in ("conv_q_right", "conv_v_right", "conv_q_left",
+                 "conv_v_left"):
+        cv.conv(f"{tprefix}.{name}", *path, name)
+    cv.conv(f"{tprefix}.conv_up.0", *path, "conv_up_fc1")
+    cv.ln(f"{tprefix}.conv_up.1", *path, "conv_up_ln")
+    cv.conv(f"{tprefix}.conv_up.3", *path, "conv_up_fc2")
+
+
+def _convert_basic_block(cv, tprefix, fpath, psa=False):
+    cv.conv(f"{tprefix}.conv1", *fpath, "cb1", "conv")
+    cv.bn(f"{tprefix}.bn1", *fpath, "cb1", "bn")
+    cv.conv(f"{tprefix}.conv2", *fpath, "cb2", "conv")
+    cv.bn(f"{tprefix}.bn2", *fpath, "cb2", "bn")
+    if psa and f"{tprefix}.deattn.conv_q_right.weight" in cv.sd:
+        _convert_psa(cv, f"{tprefix}.deattn", *fpath, "deattn")
+    if f"{tprefix}.downsample.0.weight" in cv.sd:
+        cv.conv(f"{tprefix}.downsample.0", *fpath, "down", "conv")
+        cv.bn(f"{tprefix}.downsample.1", *fpath, "down", "bn")
+
+
+def _convert_bottleneck(cv, tprefix, fpath):
+    for i in (1, 2, 3):
+        cv.conv(f"{tprefix}.conv{i}", *fpath, f"cb{i}", "conv")
+        cv.bn(f"{tprefix}.bn{i}", *fpath, f"cb{i}", "bn")
+    if f"{tprefix}.downsample.0.weight" in cv.sd:
+        cv.conv(f"{tprefix}.downsample.0", *fpath, "down", "conv")
+        cv.bn(f"{tprefix}.downsample.1", *fpath, "down", "bn")
+
+
+def convert_pose_resnet(sd: Dict[str, np.ndarray], num_layers: int,
+                        psa: bool = False):
+    """pose_resnet[_psa] state_dict → flax variables
+    (reference lib/models/pose_resnet.py structure)."""
+    from ..models.resnet import RESNET_SPEC
+    block_cls, layers = RESNET_SPEC[num_layers]
+    bottleneck = num_layers >= 50
+    cv = Converter(sd)
+    cv.conv("conv1", "backbone", "conv1")
+    cv.bn("bn1", "backbone", "bn1")
+    for li, blocks in enumerate(layers):
+        for bi in range(blocks):
+            tp = f"layer{li + 1}.{bi}"
+            fp = ("backbone", f"layer{li + 1}_{bi}")
+            if bottleneck:
+                _convert_bottleneck(cv, tp, fp)
+            else:
+                _convert_basic_block(cv, tp, fp, psa=psa)
+    i = 0
+    di = 0
+    while f"deconv_layers.{i}.weight" in sd:
+        cv.conv(f"deconv_layers.{i}", "deconv", f"deconv{di}",
+                transposed=True)
+        cv.bn(f"deconv_layers.{i + 1}", "deconv", f"bn{di}")
+        i += 3
+        di += 1
+    cv.conv("final_layer", "final_layer")
+    return cv.variables(), cv.unused()
+
+
+def convert_pose_hrnet(sd: Dict[str, np.ndarray], stages_cfg,
+                       psa: bool = False):
+    """pose_hrnet[_psa] state_dict → flax variables
+    (reference lib/models/pose_hrnet.py structure; stages_cfg from
+    models.hrnet.stage_cfg)."""
+    cv = Converter(sd)
+    cv.conv("conv1", "stem1", "conv")
+    cv.bn("bn1", "stem1", "bn")
+    cv.conv("conv2", "stem2", "conv")
+    cv.bn("bn2", "stem2", "bn")
+    for bi in range(4):
+        _convert_bottleneck(cv, f"layer1.{bi}", (f"layer1_{bi}",))
+
+    n_prev = 1
+    for si, (num_modules, nb, block, num_blocks, _) in enumerate(stages_cfg):
+        t = si + 1  # transition index
+        for i in range(nb):
+            if f"transition{t}.{i}.0.weight" in sd:
+                # single Sequential(Conv,BN,ReLU): channel-change branch
+                cv.conv(f"transition{t}.{i}.0", f"transition{t}_{i}", "conv")
+                cv.bn(f"transition{t}.{i}.1", f"transition{t}_{i}", "bn")
+            else:
+                j = 0
+                while f"transition{t}.{i}.{j}.0.weight" in sd:
+                    cv.conv(f"transition{t}.{i}.{j}.0",
+                            f"transition{t}_{i}_{j}", "conv")
+                    cv.bn(f"transition{t}.{i}.{j}.1",
+                          f"transition{t}_{i}_{j}", "bn")
+                    j += 1
+        basic = block == "BASIC"
+        for mi in range(num_modules):
+            tmod = f"stage{si + 2}.{mi}"
+            fmod = f"stage{si + 2}_{mi}"
+            for br in range(nb):
+                for bi in range(num_blocks[br]):
+                    tp = f"{tmod}.branches.{br}.{bi}"
+                    fp = (fmod, f"branch{br}_{bi}")
+                    if basic:
+                        _convert_basic_block(cv, tp, fp, psa=psa)
+                    else:
+                        _convert_bottleneck(cv, tp, fp)
+            # fuse layers
+            for i in range(nb):
+                for j in range(nb):
+                    base = f"{tmod}.fuse_layers.{i}.{j}"
+                    if j > i and f"{base}.0.weight" in sd:
+                        cv.conv(f"{base}.0", fmod, f"fuse{i}_{j}")
+                        cv.bn(f"{base}.1", fmod, f"fuse{i}_{j}_bn")
+                    elif j == i and f"{base}.0.weight" in sd:
+                        # last-module widening 1x1 (no BN)
+                        cv.conv(f"{base}.0", fmod, f"fuse{i}_{j}")
+                    elif j < i:
+                        k = 0
+                        while f"{base}.{k}.0.weight" in sd:
+                            cv.conv(f"{base}.{k}.0", fmod, f"fuse{i}_{j}_{k}")
+                            cv.bn(f"{base}.{k}.1", fmod,
+                                  f"fuse{i}_{j}_{k}_bn")
+                            k += 1
+        n_prev = nb
+    cv.conv("final_layer", "final_layer")
+    return cv.variables(), cv.unused()
+
+
+def check_against_model(variables, model, input_shape):
+    """Shape-check converted variables against a fresh init; raises on
+    mismatch, returns the converted tree with init's missing leaves."""
+    import jax
+    import jax.numpy as jnp
+
+    ref = jax.eval_shape(
+        lambda r: model.init(r, jnp.zeros(input_shape, jnp.float32),
+                             train=False), jax.random.PRNGKey(0))
+
+    flat_ref = _flatten(ref)
+    flat_new = _flatten(variables)
+    missing = sorted(set(flat_ref) - set(flat_new))
+    extra = sorted(set(flat_new) - set(flat_ref))
+    if missing or extra:
+        raise ValueError(f"conversion mismatch: missing={missing[:10]} "
+                         f"extra={extra[:10]} "
+                         f"(counts {len(missing)}/{len(extra)})")
+    for k, v in flat_new.items():
+        if tuple(flat_ref[k].shape) != tuple(np.shape(v)):
+            raise ValueError(
+                f"shape mismatch at {k}: torch {np.shape(v)} vs "
+                f"flax {tuple(flat_ref[k].shape)}")
+    return variables
+
+
+def _flatten(tree, prefix=()):
+    out = {}
+    if isinstance(tree, dict) or hasattr(tree, "items"):
+        for k, v in tree.items():
+            out.update(_flatten(v, prefix + (k,)))
+    else:
+        out["/".join(prefix)] = tree
+    return out
