@@ -1,0 +1,206 @@
+"""RSN stack tests: targets, loss, decode parity + torch output parity."""
+
+import importlib.util
+import os
+import sys
+
+import cv2
+import numpy as np
+import pytest
+
+from udp_pose_tpu.config import default_config
+from udp_pose_tpu.core.loss import joints_l2_loss, rsn_multi_stage_loss
+from udp_pose_tpu.ops.rsn_decode import rsn_decode
+from udp_pose_tpu.ops.targets import (RSN_KERNEL_SIGMA, rsn_targets,
+                                      rsn_targets_np)
+
+RSN_ROOT = "/root/reference/RSN"
+
+
+def _rsn_cfg(stage_num=1, prm=False):
+    cfg = default_config()
+    cfg.MODEL.NAME = "rsn"
+    cfg.MODEL.IMAGE_SIZE = [192, 256]
+    cfg.MODEL.HEATMAP_SIZE = [48, 64]
+    cfg.MODEL.EXTRA.STAGE_NUM = stage_num
+    cfg.MODEL.EXTRA.UPSAMPLE_CHANNEL_NUM = 256
+    cfg.MODEL.EXTRA.USE_PRM = prm
+    cfg.TPU.DTYPE = "float32"
+    return cfg
+
+
+def test_rsn_targets_parity():
+    rng = np.random.default_rng(80)
+    joints = rng.uniform(-10, 260, (17, 2)).astype(np.float64)
+    valid = (rng.uniform(size=17) > 0.2).astype(np.float32) * 2
+    gold = rsn_targets_np(joints, valid, (48, 64), (192, 256))
+    out = np.asarray(rsn_targets(joints, valid, (48, 64), (192, 256)))
+    np.testing.assert_allclose(out, gold, rtol=1e-4, atol=1e-3)
+    assert out.shape == (5, 17, 64, 48)
+    assert out.max() <= 255.0 + 1e-3
+
+
+def test_joints_l2_loss_parity():
+    import torch
+    rng = np.random.default_rng(81)
+    out = rng.normal(size=(3, 17, 16, 12)).astype(np.float32)
+    lbl = rng.normal(size=(3, 17, 16, 12)).astype(np.float32)
+    valid = rng.integers(0, 3, (3, 17, 1)).astype(np.float32)
+
+    def torch_l2(output, valid_t, label, has_ohkm=False, topk=8):
+        # reference RSN/lib/utils/loss.py:9-47 in torch
+        crit = torch.nn.MSELoss(reduction="none" if has_ohkm else "mean")
+        loss = 0
+        for i in range(output.shape[0]):
+            pred = output[i].reshape(17, -1)
+            gt = label[i].reshape(17, -1)
+            if not has_ohkm:
+                w = (valid_t[i] > 1).float()
+                gt = gt * w
+            tmp = crit(pred, gt)
+            if has_ohkm:
+                tmp = tmp.mean(dim=1) * (valid_t[i].squeeze() > 0).float()
+                tv, _ = torch.topk(tmp, k=topk, dim=0, sorted=False)
+                tmp = tv.mean(dim=0)
+            loss = loss + tmp
+        return (loss / output.shape[0]).item()
+
+    for ohkm in (False, True):
+        gold = torch_l2(torch.tensor(out), torch.tensor(valid),
+                        torch.tensor(lbl), has_ohkm=ohkm)
+        got = float(joints_l2_loss(out, valid, lbl, has_ohkm=ohkm))
+        np.testing.assert_allclose(got, gold, rtol=1e-5)
+
+
+def _ref_rsn_decode(outputs, centers, scales, kernel=11, shifts=(0.25,),
+                    input_shape=(256, 192), output_shape=(64, 48)):
+    """Loop replication of RSN get_results (test.py:25-71)."""
+    scales = scales * 200.0
+    B, J = outputs.shape[:2]
+    preds = np.zeros((B, J, 2))
+    maxvals = np.zeros((B, J, 1))
+    for i in range(B):
+        score_map = outputs[i].copy() / 255 + 0.5
+        border = 10
+        dr = np.zeros((J, output_shape[0] + 2 * border,
+                       output_shape[1] + 2 * border))
+        dr[:, border:-border, border:-border] = outputs[i].copy()
+        for w in range(J):
+            dr[w] = cv2.GaussianBlur(dr[w], (kernel, kernel), 0)
+        for w in range(J):
+            x = y = 0
+            for j in range(len(shifts)):
+                if j == 0:
+                    lb = dr[w].argmax()
+                    y, x = np.unravel_index(lb, dr[w].shape)
+                    dr[w, y, x] = 0
+                    x -= border
+                    y -= border
+                lb = dr[w].argmax()
+                py, px = np.unravel_index(lb, dr[w].shape)
+                dr[w, py, px] = 0
+                px -= border + x
+                py -= border + y
+                ln = (px ** 2 + py ** 2) ** 0.5
+                if ln > 1e-3:
+                    x += shifts[j] * px / ln
+                    y += shifts[j] * py / ln
+            x = max(0, min(x, output_shape[1] - 1))
+            y = max(0, min(y, output_shape[0] - 1))
+            preds[i, w] = [x * 4 + 2, y * 4 + 2]
+            maxvals[i, w, 0] = score_map[w, int(round(y) + 1e-9),
+                                         int(round(x) + 1e-9)]
+        preds[i, :, 0] = (preds[i, :, 0] / input_shape[1] * scales[i][0]
+                          + centers[i][0] - scales[i][0] * 0.5)
+        preds[i, :, 1] = (preds[i, :, 1] / input_shape[0] * scales[i][1]
+                          + centers[i][1] - scales[i][1] * 0.5)
+    return preds, maxvals
+
+
+@pytest.mark.parametrize("shifts", [(0.25,), (0.25, 0.125)])
+def test_rsn_decode_parity(shifts):
+    rng = np.random.default_rng(82)
+    B, J, H, W = 2, 4, 64, 48
+    maps = rng.uniform(0, 30, (B, J, H, W)).astype(np.float32)
+    ys, xs = np.mgrid[0:H, 0:W]
+    for b in range(B):
+        for j in range(J):
+            cy, cx = rng.uniform(8, H - 8), rng.uniform(8, W - 8)
+            maps[b, j] += 255 * np.exp(
+                -((xs - cx) ** 2 + (ys - cy) ** 2) / (2 * 2.0 ** 2)).astype(np.float32)
+    centers = rng.uniform(100, 400, (B, 2)).astype(np.float32)
+    scales = rng.uniform(0.5, 2.0, (B, 2)).astype(np.float32)
+    gold_p, gold_v = _ref_rsn_decode(maps.copy(), centers, scales.copy(),
+                                     shifts=shifts)
+    p, v = rsn_decode(maps, centers, scales, kernel=11, shifts=shifts)
+    np.testing.assert_allclose(np.asarray(v), gold_v, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(p), gold_p, rtol=1e-3, atol=5e-3)
+
+
+def test_rsn_multi_stage_loss_runs():
+    rng = np.random.default_rng(83)
+    outputs = [[rng.normal(size=(2, 17, 16, 12)).astype(np.float32)
+                for _ in range(4)] for _ in range(2)]
+    labels = rng.normal(size=(2, 5, 17, 16, 12)).astype(np.float32)
+    valids = np.ones((2, 17, 1), np.float32) * 2
+    loss = rsn_multi_stage_loss(outputs, valids, labels, stage_num=2)
+    assert np.isfinite(float(loss))
+
+
+@pytest.mark.skipif(not os.path.isdir(RSN_ROOT),
+                    reason="reference checkout not present")
+def test_rsn_torch_output_parity():
+    import jax
+    import torch
+    from udp_pose_tpu.models import build_model
+    from udp_pose_tpu.utils.torch_convert import (check_against_model,
+                                                  convert_rsn)
+
+    if RSN_ROOT not in sys.path:
+        sys.path.insert(0, RSN_ROOT)
+    spec = importlib.util.spec_from_file_location(
+        "ref_rsn_network", os.path.join(RSN_ROOT, "exps/RSN18.coco/network.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    class _NS:
+        pass
+
+    rcfg = _NS()
+    rcfg.MODEL = _NS(); rcfg.MODEL.STAGE_NUM = 2
+    rcfg.MODEL.UPSAMPLE_CHANNEL_NUM = 256
+    rcfg.DATASET = _NS(); rcfg.DATASET.KEYPOINT = _NS()
+    rcfg.DATASET.KEYPOINT.NUM = 17
+    rcfg.OUTPUT_SHAPE = (64, 48)
+    rcfg.LOSS = _NS(); rcfg.LOSS.OHKM = True; rcfg.LOSS.TOPK = 8
+    rcfg.LOSS.COARSE_TO_FINE = True
+
+    tmodel = mod.RSN(rcfg)
+    tmodel.eval()
+    g = torch.Generator().manual_seed(0)
+    sd = tmodel.state_dict()
+    for k, v in sd.items():
+        if v.dtype.is_floating_point:
+            if "running_var" in k:
+                sd[k] = torch.rand(v.shape, generator=g) + 0.5
+            elif "running_mean" in k:
+                sd[k] = torch.randn(v.shape, generator=g) * 0.1
+            else:
+                sd[k] = torch.randn(v.shape, generator=g) * 0.05
+    tmodel.load_state_dict(sd)
+
+    cfg = _rsn_cfg(stage_num=2)
+    fmodel = build_model(cfg)
+    variables, unused = convert_rsn(
+        {k: v.numpy() for k, v in tmodel.state_dict().items()}, stage_num=2)
+    assert not unused, unused[:8]
+    variables = check_against_model(variables, fmodel, (1, 256, 192, 3))
+
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(1, 3, 256, 192)).astype(np.float32)
+    with torch.no_grad():
+        yt = tmodel(torch.tensor(x)).numpy()
+    yf = np.asarray(fmodel.apply(variables, x.transpose(0, 2, 3, 1),
+                                 train=False)).transpose(0, 3, 1, 2)
+    assert yt.shape == yf.shape
+    np.testing.assert_allclose(yf, yt, rtol=1e-3, atol=5e-4)

@@ -94,6 +94,51 @@ def joints_ohkm_mse_loss(output, target, target_weight, topk=8,
     return jnp.mean(jnp.sum(top_vals, axis=1) / topk)
 
 
+def joints_l2_loss(output, valid, label, has_ohkm=False, topk=8,
+                   thresh1=1.0, thresh2=0.0):
+    """RSN JointsL2Loss (RSN/lib/utils/loss.py:9-47).
+
+    output/label (B, J, H, W) 255-scale heatmaps; valid (B, J) or (B, J, 1)
+    visibility values.  Without OHKM the *label* (not the prediction) is
+    masked by ``valid > thresh1``; with OHKM the per-joint mean losses are
+    gated by ``valid > thresh2`` and the top-k hardest joints averaged.
+    """
+    B, J = output.shape[0], output.shape[1]
+    p = output.reshape(B, J, -1).astype(jnp.float32)
+    g = label.reshape(B, J, -1).astype(jnp.float32)
+    v = _weight(valid)
+    if not has_ohkm:
+        g = g * (v > thresh1)[..., None]
+        return jnp.mean((p - g) ** 2)
+    per_joint = jnp.mean((p - g) ** 2, axis=2)          # (B, J)
+    per_joint = per_joint * (v > thresh2)
+    top_vals, _ = jax.lax.top_k(per_joint, topk)
+    return jnp.mean(jnp.mean(top_vals, axis=1))
+
+
+def rsn_multi_stage_loss(outputs, valids, labels, stage_num, ohkm=True,
+                         topk=8, coarse_to_fine=True):
+    """RSN._calculate_loss (RSN/exps/RSN18.coco/network.py:373-398).
+
+    outputs: list (per stage) of 4 NCHW heatmaps small→large scale index;
+    labels (B, 5, J, H, W) multi-kernel pyramid; valids (B, J, 1).
+    OHKM only on the finest output; intermediate losses ÷4; last stage
+    reads labels shifted by one (coarse-to-fine).
+    """
+    loss = 0.0
+    for i in range(stage_num):
+        for j in range(4):
+            ind = j + 1 if (i == stage_num - 1 and coarse_to_fine) else j
+            lbl = labels[:, ind]
+            if j == 3 and ohkm:
+                l = joints_l2_loss(outputs[i][j], valids, lbl,
+                                   has_ohkm=True, topk=topk)
+            else:
+                l = joints_l2_loss(outputs[i][j], valids, lbl)
+            loss = loss + (l / 4.0 if j < 3 else l)
+    return loss
+
+
 def make_loss_fn(cfg):
     """Select the criterion from config (parity: tools/train.py:119-125).
 

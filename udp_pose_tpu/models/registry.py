@@ -52,3 +52,11 @@ def _pose_hrnet(cfg):
 @register_model("pose_hrnet_psa")
 def _pose_hrnet_psa(cfg):
     return pose_hrnet_from_cfg(cfg, psa=True)
+
+
+from .rsn import rsn_from_cfg                     # noqa: E402
+
+
+@register_model("rsn")
+def _rsn(cfg):
+    return rsn_from_cfg(cfg)

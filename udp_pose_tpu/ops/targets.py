@@ -119,6 +119,62 @@ def batch_offset_targets(joints, joints_vis, heatmap_size, image_size, kpd):
     return jax.vmap(fn)(joints, joints_vis)
 
 
+# RSN kernel-size → sigma table (RSN/dataset/JointsDataset.py:19-25)
+RSN_KERNEL_SIGMA = {15: 2.6, 11: 2.0, 9: 1.7, 7: 1.4105, 5: 1.1105}
+RSN_DEFAULT_KERNELS = (15, 11, 9, 7, 5)
+
+
+@partial(jax.jit, static_argnames=("heatmap_size", "image_size", "kernels"))
+def rsn_targets(joints, valid, heatmap_size, image_size,
+                kernels=RSN_DEFAULT_KERNELS):
+    """RSN multi-kernel 255-amplitude label pyramid
+    (RSN/dataset/JointsDataset.py:214-220, :276-291).
+
+    joints (J, 2+) crop-space xy; valid (J,) — joints with valid < 1 give
+    all-zero maps.  Full-map Gaussians (no window), unbiased stride
+    ``(in-1)/(out-1)``, peak 255.  Returns (len(kernels), J, H, W).
+    """
+    joints = jnp.asarray(joints, jnp.float32)
+    v = jnp.asarray(valid, jnp.float32)
+    if v.ndim == 2:
+        v = v[:, 0]
+    W, H = heatmap_size
+    sx = (W - 1.0) / (image_size[0] - 1.0)
+    sy = (H - 1.0) / (image_size[1] - 1.0)
+    px, py = _grids(heatmap_size)
+    tx = (joints[:, 0] * sx)[:, None, None]
+    ty = (joints[:, 1] * sy)[:, None, None]
+    d2 = (px[None] - tx) ** 2 + (py[None] - ty) ** 2
+    maps = []
+    for k in kernels:
+        sigma = RSN_KERNEL_SIGMA[k]
+        g = 255.0 * jnp.exp(-d2 / (2.0 * sigma ** 2))
+        maps.append(jnp.where((v >= 1.0)[:, None, None], g, 0.0))
+    return jnp.stack(maps)
+
+
+def rsn_targets_np(joints, valid, heatmap_size, image_size,
+                   kernels=RSN_DEFAULT_KERNELS):
+    """Host twin of :func:`rsn_targets`."""
+    W, H = int(heatmap_size[0]), int(heatmap_size[1])
+    J = joints.shape[0]
+    v = np.asarray(valid, np.float32)
+    if v.ndim == 2:
+        v = v[:, 0]
+    fx, fy = np.meshgrid(np.arange(W), np.arange(H))
+    out = np.zeros((len(kernels), J, H, W), np.float32)
+    for ki, k in enumerate(kernels):
+        sigma = RSN_KERNEL_SIGMA[k]
+        for j in range(J):
+            if v[j] < 1:
+                continue
+            tx = joints[j][0] * (W - 1.0) / (image_size[0] - 1.0)
+            ty = joints[j][1] * (H - 1.0) / (image_size[1] - 1.0)
+            d2 = (fx - tx) ** 2 + (fy - ty) ** 2
+            out[ki, j] = 255.0 * np.exp(-d2 / (2.0 * sigma ** 2))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # numpy twin of the reference encoder, used as the golden model in tests and
 # by host-side data workers that overlap target generation with TPU compute.

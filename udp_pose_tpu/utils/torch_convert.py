@@ -221,6 +221,78 @@ def convert_pose_hrnet(sd: Dict[str, np.ndarray], stages_cfg,
     return cv.variables(), cv.unused()
 
 
+def _convert_cbr(cv: Converter, tprefix: str, *path, has_bn=True):
+    """RSN conv_bn_relu (conv has bias)."""
+    cv.conv(f"{tprefix}.conv", *path, "conv")
+    if has_bn:
+        cv.bn(f"{tprefix}.bn", *path, "bn")
+
+
+def convert_rsn(sd: Dict[str, np.ndarray], stage_num: int,
+                layers=(2, 2, 2, 2), plain=False, se=False, prm=False):
+    """RSN state_dict → flax variables (RSN/exps/*/network.py structure).
+
+    Note the torch model stores BN params even for has_bn=False convs
+    (conv_bn_relu always builds a bn); those unused BNs never run, so their
+    keys are ignored here only when absent from the flax tree — but RSN
+    always uses has_bn=True, so every bn maps.
+    """
+    cv = Converter(sd)
+    _convert_cbr(cv, "top.conv", "top")
+    steps = ["cbr2_1_1", "cbr2_2_1", "cbr2_2_2", "cbr2_3_1", "cbr2_3_2",
+             "cbr2_3_3", "cbr2_4_1", "cbr2_4_2", "cbr2_4_3", "cbr2_4_4"]
+    for si in range(stage_num):
+        td = f"stage{si}.downsample"
+        fd = f"stage{si}_down"
+        for li, blocks in enumerate(layers):
+            for bi in range(blocks):
+                tb = f"{td}.layer{li + 1}.{bi}"
+                fb = (fd, f"layer{li + 1}_{bi}")
+                if plain:
+                    for i in (1, 2, 3):
+                        _convert_cbr(cv, f"{tb}.conv_bn_relu{i}",
+                                     *fb, f"cbr{i}")
+                else:
+                    _convert_cbr(cv, f"{tb}.conv_bn_relu1", *fb, "cbr1")
+                    for s in steps:
+                        tname = s.replace("cbr", "conv_bn_relu")
+                        _convert_cbr(cv, f"{tb}.{tname}", *fb, s)
+                    _convert_cbr(cv, f"{tb}.conv_bn_relu3", *fb, "cbr3")
+                if f"{tb}.downsample.conv.weight" in sd:
+                    _convert_cbr(cv, f"{tb}.downsample", *fb, "down")
+                if se and f"{tb}.se.fc.0.weight" in sd:
+                    _set(cv.params, (*fb, "se", "fc1", "kernel"),
+                         sd[f"{tb}.se.fc.0.weight"].T)
+                    _set(cv.params, (*fb, "se", "fc2", "kernel"),
+                         sd[f"{tb}.se.fc.2.weight"].T)
+                    cv.used.update({f"{tb}.se.fc.0.weight",
+                                    f"{tb}.se.fc.2.weight"})
+        tu = f"stage{si}.upsample"
+        fu = f"stage{si}_up"
+        for ui in range(1, 5):
+            tup = f"{tu}.up{ui}"
+            fup = (fu, f"up{ui}")
+            _convert_cbr(cv, f"{tup}.u_skip", *fup, "u_skip")
+            if ui > 1:
+                _convert_cbr(cv, f"{tup}.up_conv", *fup, "up_conv")
+            _convert_cbr(cv, f"{tup}.res_conv1", *fup, "res_conv1")
+            _convert_cbr(cv, f"{tup}.res_conv2", *fup, "res_conv2")
+            if f"{tup}.skip1.conv.weight" in sd:
+                _convert_cbr(cv, f"{tup}.skip1", *fup, "skip1")
+                _convert_cbr(cv, f"{tup}.skip2", *fup, "skip2")
+            if f"{tup}.cross_conv.conv.weight" in sd:
+                _convert_cbr(cv, f"{tup}.cross_conv", *fup, "cross_conv")
+            if prm and f"{tup}.prm.conv_bn_relu_prm_1.conv.weight" in sd:
+                names = {"conv_bn_relu_prm_1": "prm1",
+                         "conv_bn_relu_prm_2_1": "prm2_1",
+                         "conv_bn_relu_prm_2_2": "prm2_2",
+                         "conv_bn_relu_prm_3_1": "prm3_1",
+                         "conv_bn_relu_prm_3_2": "prm3_2"}
+                for tn, fn in names.items():
+                    _convert_cbr(cv, f"{tup}.prm.{tn}", *fup, "prm", fn)
+    return cv.variables(), cv.unused()
+
+
 def check_against_model(variables, model, input_shape):
     """Shape-check converted variables against a fresh init; raises on
     mismatch, returns the converted tree with init's missing leaves."""
