@@ -1,0 +1,149 @@
+"""Mobile backbone zoo: shape tests + torch output parity for shufflenets."""
+
+import importlib
+import os
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from udp_pose_tpu.config import default_config
+from udp_pose_tpu.models import MODELS, build_model
+
+REF_BB = "/root/reference/deep_hrnet/lib/models/backbones"
+
+
+def _cfg(name, head="deconv", target="gaussian"):
+    cfg = default_config()
+    cfg.MODEL.NAME = name
+    cfg.MODEL.TARGET_TYPE = target
+    cfg.MODEL.IMAGE_SIZE = [192, 256]
+    cfg.MODEL.HEATMAP_SIZE = [48, 64]
+    cfg.MODEL.EXTRA.FINAL_CONV_KERNEL = 1
+    cfg.MODEL.EXTRA.MODEL_SIZE = "Small"
+    if head == "deconv":
+        cfg.MODEL.EXTRA.NUM_DECONV_LAYERS = 3
+        cfg.MODEL.EXTRA.NUM_DECONV_FILTERS = [256, 256, 256]
+        cfg.MODEL.EXTRA.NUM_DECONV_KERNELS = [4, 4, 4]
+        cfg.MODEL.EXTRA.DECONV_WITH_BIAS = False
+    else:
+        cfg.MODEL.EXTRA.START_CHANNELS = 256
+        cfg.MODEL.EXTRA.ARCHITECTURE = [512, 256, 128]
+    cfg.TPU.DTYPE = "float32"
+    return cfg
+
+
+ALL_MOBILE = [
+    ("pose_shufflenetv2_plus", "deconv"),
+    ("pose_shufflenetv2_plus_pixel_shuffle", "ps"),
+    ("pose_shufflenetv2_10x", "deconv"),
+    ("pose_shufflenetv2_10x_pixel_shuffle", "ps"),
+    ("pose_mobilenetv3_small", "deconv"),
+    ("pose_mobilenetv3_small_pixel_shuffle", "ps"),
+]
+
+
+@pytest.mark.parametrize("name,head", ALL_MOBILE)
+def test_mobile_pose_shapes(name, head):
+    cfg = _cfg(name, head)
+    model = build_model(cfg)
+    x = jnp.zeros((1, 256, 192, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (1, 64, 48, 17), out.shape
+
+
+def test_registry_has_all_reference_names():
+    """The reference MODELS dict has 12 entries (models/__init__.py:28-41);
+    everything except the mobilevit family must be registered by now."""
+    expected = {"pose_resnet", "pose_resnet_psa", "pose_hrnet",
+                "pose_hrnet_psa", "pose_shufflenetv2_plus",
+                "pose_shufflenetv2_plus_pixel_shuffle",
+                "pose_shufflenetv2_10x",
+                "pose_shufflenetv2_10x_pixel_shuffle",
+                "pose_mobilenetv3_small",
+                "pose_mobilenetv3_small_pixel_shuffle"}
+    assert expected <= set(MODELS)
+
+
+# -- torch parity -----------------------------------------------------------
+
+def _ref_backbone(name):
+    if "refbb" not in sys.modules:
+        pkg = types.ModuleType("refbb")
+        pkg.__path__ = [REF_BB]
+        sys.modules["refbb"] = pkg
+    return importlib.import_module(f"refbb.{name}")
+
+
+def _rand_sd(model, seed=0):
+    import torch
+    g = torch.Generator().manual_seed(seed)
+    sd = model.state_dict()
+    for k, v in sd.items():
+        if v.dtype.is_floating_point:
+            if "running_var" in k:
+                sd[k] = torch.rand(v.shape, generator=g) + 0.5
+            elif "running_mean" in k:
+                sd[k] = torch.randn(v.shape, generator=g) * 0.1
+            else:
+                sd[k] = torch.randn(v.shape, generator=g) * 0.05
+    model.load_state_dict(sd)
+    return model
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_BB), reason="no reference")
+def test_shufflenetv2_backbone_parity():
+    import torch
+    from udp_pose_tpu.models.mobile import ShuffleNetV2
+    from udp_pose_tpu.utils.torch_convert import convert_shufflenetv2
+    ref = _ref_backbone("shufflenetv2")
+    tmodel = _rand_sd(ref.ShuffleNetV2(model_size="1.0x"))
+    tmodel.eval()
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    variables, unused = convert_shufflenetv2(sd, n_blocks=16)
+    assert not unused, unused[:8]
+    fmodel = ShuffleNetV2(model_size="1.0x")
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(1, 3, 224, 224)).astype(np.float32)
+    with torch.no_grad():
+        # reference forward up to conv_last (clf=False path returns there)
+        t = tmodel.first_conv(torch.tensor(x))
+        t = tmodel.maxpool(t)
+        t = tmodel.features(t)
+        yt = tmodel.conv_last(t).numpy()
+    yf = np.asarray(fmodel.apply(variables, x.transpose(0, 2, 3, 1),
+                                 train=False)).transpose(0, 3, 1, 2)
+    assert yf.shape == yt.shape
+    np.testing.assert_allclose(yf, yt, rtol=1e-3, atol=2e-4)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_BB), reason="no reference")
+def test_shufflenetv2_plus_backbone_parity():
+    import torch
+    from udp_pose_tpu.models.mobile import (SHUFFLENETV2_PLUS_ARCH,
+                                            ShuffleNetV2Plus)
+    from udp_pose_tpu.utils.torch_convert import convert_shufflenetv2
+    ref = _ref_backbone("shufflenetv2_plus")
+    tmodel = _rand_sd(ref.ShuffleNetV2_Plus(
+        input_size=224, architecture=list(SHUFFLENETV2_PLUS_ARCH),
+        model_size="Small"))
+    tmodel.eval()
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    variables, unused = convert_shufflenetv2(
+        sd, n_blocks=20, arch=SHUFFLENETV2_PLUS_ARCH)
+    assert not unused, unused[:8]
+    fmodel = ShuffleNetV2Plus(model_size="Small")
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(1, 3, 224, 224)).astype(np.float32)
+    with torch.no_grad():
+        t = tmodel.first_conv(torch.tensor(x))
+        t = tmodel.features(t)
+        yt = tmodel.conv_last(t).numpy()
+    yf = np.asarray(fmodel.apply(variables, x.transpose(0, 2, 3, 1),
+                                 train=False)).transpose(0, 3, 1, 2)
+    assert yf.shape == yt.shape
+    np.testing.assert_allclose(yf, yt, rtol=1e-3, atol=2e-4)

@@ -134,13 +134,14 @@ class DUC(nn.Module):
     """Dense Upsampling Conv: conv-BN-ReLU then ×2 pixel shuffle
     (decoders/DUC.py:9-28)."""
     planes: int          # channels *before* the shuffle (must be 4k)
+    upscale: int = 2
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = ConvBN(self.planes, 3, 1, relu=True, dtype=self.dtype,
                    name="cb")(x, train)
-        return pixel_shuffle(x, 2)
+        return pixel_shuffle(x, self.upscale)
 
 
 def pixel_shuffle(x, factor: int):
@@ -159,21 +160,20 @@ def pixel_shuffle(x, factor: int):
 
 
 class PixelShuffleDecoder(nn.Module):
-    """1x1 compress + DUC chain (decoders/pixelshuffle.py:7-31).
+    """Bias-free 1×1 compress + DUC chain (decoders/pixelshuffle.py:7-31).
 
-    start_channels halve per DUC stage; 3 stages give the ×8 upsample used
-    by the mobile backbones.
+    ``architecture[i]`` is the conv width of DUC i (÷4 after each ×2
+    shuffle); default (512, 256, 128) gives the ×8 upsample with 32 output
+    channels used by the mobile backbones.
     """
     start_channels: int = 256
-    num_stages: int = 3
+    architecture: Sequence[int] = (512, 256, 128)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = ConvBN(self.start_channels, 1, 1, relu=True, dtype=self.dtype,
-                   name="compress")(x, train)
-        ch = self.start_channels
-        for i in range(self.num_stages):
-            x = DUC(ch * 2, dtype=self.dtype, name=f"duc{i}")(x, train)
-            ch = ch // 2
+        x = nn.Conv(self.start_channels, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv_compress")(x)
+        for i, planes in enumerate(self.architecture):
+            x = DUC(planes, dtype=self.dtype, name=f"duc{i}")(x, train)
         return x

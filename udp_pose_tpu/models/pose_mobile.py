@@ -1,0 +1,114 @@
+"""Pose wrappers for the mobile backbones (deconv or pixel-shuffle heads).
+
+Parity: lib/models/pose_shufflenetv2_plus[_pixel_shuffle].py,
+pose_shufflenetv2_10x[_pixel_shuffle].py, pose_mobilenetv3_small
+[_pixel_shuffle].py — backbone → head → final 1×1 (×3 for offset).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import DeconvHead, PixelShuffleDecoder
+from .mobile import MobileNetV3Small, ShuffleNetV2, ShuffleNetV2Plus
+from .registry import register_model
+
+
+class MobilePoseNet(nn.Module):
+    backbone: Callable[..., nn.Module]
+    backbone_kwargs: tuple = ()
+    head: str = "deconv"                    # deconv | pixel_shuffle
+    num_joints: int = 17
+    target_type: str = "gaussian"
+    num_deconv_filters: Sequence[int] = (256, 256, 256)
+    num_deconv_kernels: Sequence[int] = (4, 4, 4)
+    deconv_with_bias: bool = False
+    start_channels: int = 256
+    architecture: Sequence[int] = (512, 256, 128)
+    final_conv_kernel: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = self.backbone(**dict(self.backbone_kwargs), dtype=self.dtype,
+                          name="backbone")(x, train)
+        if self.head == "deconv":
+            x = DeconvHead(tuple(self.num_deconv_filters),
+                           tuple(self.num_deconv_kernels),
+                           self.deconv_with_bias, dtype=self.dtype,
+                           name="deconv")(x, train)
+        else:
+            x = PixelShuffleDecoder(self.start_channels,
+                                    tuple(self.architecture),
+                                    dtype=self.dtype, name="decoder")(x, train)
+        out_ch = (self.num_joints * 3 if self.target_type == "offset"
+                  else self.num_joints)
+        pad = 1 if self.final_conv_kernel == 3 else 0
+        x = nn.Conv(out_ch, (self.final_conv_kernel,) * 2,
+                    padding=((pad, pad), (pad, pad)), dtype=self.dtype,
+                    name="final_layer")(x)
+        return x.astype(jnp.float32)
+
+
+def _common(cfg, backbone, backbone_kwargs, head):
+    extra = cfg.MODEL.EXTRA
+    dtype = jnp.bfloat16 if cfg.TPU.DTYPE == "bfloat16" else jnp.float32
+    kw = dict(
+        backbone=backbone,
+        backbone_kwargs=tuple(backbone_kwargs.items()),
+        head=head,
+        num_joints=cfg.MODEL.NUM_JOINTS,
+        target_type=cfg.MODEL.TARGET_TYPE,
+        final_conv_kernel=extra.FINAL_CONV_KERNEL,
+        dtype=dtype,
+    )
+    if head == "deconv":
+        kw.update(
+            num_deconv_filters=tuple(extra.NUM_DECONV_FILTERS),
+            num_deconv_kernels=tuple(extra.NUM_DECONV_KERNELS),
+            deconv_with_bias=extra.DECONV_WITH_BIAS,
+        )
+    else:
+        kw.update(
+            start_channels=extra.get("START_CHANNELS", 256),
+            architecture=tuple(extra.get("ARCHITECTURE", (512, 256, 128))),
+        )
+    return MobilePoseNet(**kw)
+
+
+@register_model("pose_shufflenetv2_plus")
+def _snv2p(cfg):
+    return _common(cfg, ShuffleNetV2Plus,
+                   {"model_size": cfg.MODEL.EXTRA.get("MODEL_SIZE", "Small")},
+                   "deconv")
+
+
+@register_model("pose_shufflenetv2_plus_pixel_shuffle")
+def _snv2p_ps(cfg):
+    return _common(cfg, ShuffleNetV2Plus,
+                   {"model_size": cfg.MODEL.EXTRA.get("MODEL_SIZE", "Small")},
+                   "pixel_shuffle")
+
+
+@register_model("pose_shufflenetv2_10x")
+def _snv2(cfg):
+    return _common(cfg, ShuffleNetV2, {"model_size": "1.0x"}, "deconv")
+
+
+@register_model("pose_shufflenetv2_10x_pixel_shuffle")
+def _snv2_ps(cfg):
+    return _common(cfg, ShuffleNetV2, {"model_size": "1.0x"},
+                   "pixel_shuffle")
+
+
+@register_model("pose_mobilenetv3_small")
+def _mnv3(cfg):
+    return _common(cfg, MobileNetV3Small, {}, "deconv")
+
+
+@register_model("pose_mobilenetv3_small_pixel_shuffle")
+def _mnv3_ps(cfg):
+    return _common(cfg, MobileNetV3Small, {}, "pixel_shuffle")

@@ -60,3 +60,6 @@ from .rsn import rsn_from_cfg                     # noqa: E402
 @register_model("rsn")
 def _rsn(cfg):
     return rsn_from_cfg(cfg)
+
+
+from . import pose_mobile                         # noqa: E402,F401  (registers)

@@ -293,6 +293,57 @@ def convert_rsn(sd: Dict[str, np.ndarray], stage_num: int,
     return cv.variables(), cv.unused()
 
 
+def _convert_se_hardsigmoid(cv: Converter, tprefix: str, *path):
+    """ShuffleNetV2+ SELayer (SE_opr: [1]=conv, [2]=bn, [4]=conv)."""
+    cv.conv(f"{tprefix}.SE_opr.1", *path, "fc1")
+    cv.bn(f"{tprefix}.SE_opr.2", *path, "bn")
+    cv.conv(f"{tprefix}.SE_opr.4", *path, "fc2")
+
+
+def _convert_shuffle_block(cv: Converter, tp: str, fp, xception: bool):
+    """One ShuffleV2Block / Shufflenet / Shuffle_Xception."""
+    if xception:
+        pairs = [("0", "dw1"), ("2", "pw1"), ("5", "dw2"), ("7", "pw2"),
+                 ("10", "dw3"), ("12", "pw3")]
+        se_idx = 15
+    else:
+        pairs = [("0", "pw"), ("3", "dw"), ("5", "pwl")]
+        se_idx = 8
+    for ti, fn in pairs:
+        cv.conv(f"{tp}.branch_main.{ti}", *fp, fn, "conv")
+        cv.bn(f"{tp}.branch_main.{int(ti) + 1}", *fp, fn, "bn")
+    if f"{tp}.branch_main.{se_idx}.SE_opr.1.weight" in cv.sd:
+        _convert_se_hardsigmoid(cv, f"{tp}.branch_main.{se_idx}", *fp, "se")
+    if f"{tp}.branch_proj.0.weight" in cv.sd:
+        cv.conv(f"{tp}.branch_proj.0", *fp, "proj_dw", "conv")
+        cv.bn(f"{tp}.branch_proj.1", *fp, "proj_dw", "bn")
+        cv.conv(f"{tp}.branch_proj.2", *fp, "proj_pw", "conv")
+        cv.bn(f"{tp}.branch_proj.3", *fp, "proj_pw", "bn")
+
+
+def convert_shufflenetv2(sd: Dict[str, np.ndarray], prefix="",
+                         n_blocks=16, arch=None):
+    """ShuffleNetV2 / ShuffleNetV2+ backbone state_dict → flax params.
+
+    ``arch`` is the '+'-variant block-type list (3 = Xception); None means
+    the vanilla network.  Classifier heads (globalpool/fc/classifier/
+    LastSE) are ignored.  Returns (variables, unused_keys).
+    """
+    cv = Converter(sd)
+    cv.conv(f"{prefix}first_conv.0", "first_conv", "conv")
+    cv.bn(f"{prefix}first_conv.1", "first_conv", "bn")
+    for i in range(n_blocks):
+        xcep = arch is not None and arch[i] == 3
+        _convert_shuffle_block(cv, f"{prefix}features.{i}",
+                               (f"block{i}",), xcep)
+    cv.conv(f"{prefix}conv_last.0", "conv_last", "conv")
+    cv.bn(f"{prefix}conv_last.1", "conv_last", "bn")
+    unused = [k for k in cv.unused()
+              if not any(s in k for s in ("classifier", "fc.", "LastSE",
+                                          "globalpool"))]
+    return cv.variables(), unused
+
+
 def check_against_model(variables, model, input_shape):
     """Shape-check converted variables against a fresh init; raises on
     mismatch, returns the converted tree with init's missing leaves."""
