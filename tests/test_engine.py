@@ -1,0 +1,123 @@
+"""Inference engine tests: YOLO post, crop geometry, detect-then-pose E2E."""
+
+import cv2
+import numpy as np
+import pytest
+
+from udp_pose_tpu.ops import yolo
+from udp_pose_tpu.ops.affine import classic_affine_matrix, warp_affine
+
+
+def test_letterbox_shape_and_padding_value():
+    # 480x640 with target 640: r=1, mod-32 padding is zero → unchanged
+    img = np.full((480, 640, 3), 50, np.uint8)
+    out = yolo.letterbox(img, 640)
+    assert out.shape == (480, 640, 3)
+    # 500x640: pads 500 → 512 with value-114 bands top+bottom
+    img2 = np.full((500, 640, 3), 50, np.uint8)
+    out2 = yolo.letterbox(img2, 640)
+    assert out2.shape == (512, 640, 3)
+    assert (out2[:6] == 114).all() and (out2[-6:] == 114).all()
+    assert (out2[6:-6] == 50).all()
+
+
+def test_scale_boxes_roundtrip():
+    rng = np.random.default_rng(90)
+    img_hw = (480, 640)
+    boxes = np.array([[100.0, 50.0, 300.0, 400.0]])
+    r = min(640 / img_hw[0], 640 / img_hw[1])
+    pad_y = (640 - img_hw[0] * r) / 2
+    lb_boxes = boxes * r + np.array([0, pad_y, 0, pad_y])
+    back = yolo.scale_boxes(lb_boxes.copy(), img_hw, (640, 640))
+    np.testing.assert_allclose(back, boxes, atol=1.0)
+
+
+def test_non_max_suppression_semantics():
+    # two overlapping persons + one dog; raw (1, N, 5+nc)
+    nc = 3
+    pred = np.zeros((1, 4, 5 + nc), np.float32)
+    pred[0, 0] = [100, 100, 50, 80, 0.9, 0.99, 0.005, 0.005]   # person
+    pred[0, 1] = [104, 102, 50, 80, 0.8, 0.98, 0.01, 0.01]     # dup person
+    pred[0, 2] = [300, 300, 40, 40, 0.85, 0.01, 0.98, 0.01]    # class 1
+    pred[0, 3] = [10, 10, 5, 5, 0.01, 0.99, 0.005, 0.005]      # low conf
+    out = yolo.non_max_suppression(pred, conf_thres=0.25, iou_thres=0.45)[0]
+    assert out.shape[0] == 2                       # dup + low-conf removed
+    classes = sorted(out[:, 5].astype(int).tolist())
+    assert classes == [0, 1]                       # class offset kept dog
+    out_p = yolo.non_max_suppression(pred, classes=[0])[0]
+    assert (out_p[:, 5] == 0).all()
+
+
+def test_padding_bbox_and_yolo2xyxy():
+    assert yolo.padding_bbox(2, 3, 630, 470, (480, 640)) == (0, 0, 635, 475)
+    x1, y1, x2, y2 = yolo.yolo2xyxy((480, 640), (0.5, 0.5, 0.25, 0.5))
+    assert (x1, y1, x2, y2) == (239, 119, 399, 359)
+
+
+def test_classic_inv_matrix_matches_cv2_forward_warp():
+    """Engine crops (gather with inv matrix) == cv2.warpAffine with the
+    forward matrix (pose_engine.py:73-80 semantics)."""
+    rng = np.random.default_rng(91)
+    base = rng.uniform(0, 255, (12, 16)).astype(np.float32)
+    img = cv2.resize(base, (320, 240), interpolation=cv2.INTER_CUBIC)
+    img = np.stack([img] * 3, -1)
+    center = np.array([150.0, 120.0], np.float32)
+    scale = np.array([0.6, 0.8], np.float32)
+    out_wh = (192, 256)
+    fwd = np.asarray(classic_affine_matrix(center, scale, 0.0, out_wh,
+                                           inv=False))
+    gold = cv2.warpAffine(img, fwd, out_wh, flags=cv2.INTER_LINEAR)
+    inv = np.asarray(classic_affine_matrix(center, scale, 0.0, out_wh,
+                                           inv=True))
+    got = np.asarray(warp_affine(img, inv, (out_wh[1], out_wh[0])))
+    assert np.abs(got - gold).mean() < 0.5
+    assert np.abs(got - gold).max() < 6.0
+
+
+def test_pose_pipeline_e2e():
+    from udp_pose_tpu.config import default_config
+    from udp_pose_tpu.engine.pose_engine import UdpPosePipeline
+    cfg = default_config()
+    cfg.MODEL.NAME = "pose_resnet"
+    cfg.DATASET.DATASET = "coco"
+    cfg.MODEL.IMAGE_SIZE = [96, 128]
+    cfg.MODEL.HEATMAP_SIZE = [24, 32]
+    cfg.MODEL.EXTRA.merge_from_dict({
+        "NUM_LAYERS": 18, "NUM_DECONV_LAYERS": 3,
+        "NUM_DECONV_FILTERS": [64, 64, 64],
+        "NUM_DECONV_KERNELS": [4, 4, 4],
+        "DECONV_WITH_BIAS": False, "FINAL_CONV_KERNEL": 1})
+    cfg.TEST.FLIP_TEST = True
+    cfg.TPU.DTYPE = "float32"
+    pipe = UdpPosePipeline(cfg, weights=None)
+
+    rng = np.random.default_rng(92)
+    frame = rng.integers(0, 255, (480, 640, 3), np.uint8)
+    boxes = np.array([[100, 80, 220, 400], [300, 60, 420, 460],
+                      [50, 50, 150, 300]], np.float32)
+    kps, maxvals = pipe.infer_pose(frame, boxes)
+    assert kps.shape == (3, 17, 2)
+    assert maxvals.shape == (3, 17, 1)
+    assert np.isfinite(kps).all()
+    # bucket padding: 3 boxes pad to 4; a second call with 4 boxes reuses it
+    assert 4 in pipe._infer_cache
+    kps2, _ = pipe.infer_pose(frame, np.tile(boxes[:1], (4, 1)))
+    assert kps2.shape == (4, 17, 2)
+    assert len(pipe._infer_cache) == 1
+    # empty boxes path
+    kps0, mv0 = pipe.infer_pose(frame, np.zeros((0, 4), np.float32))
+    assert kps0.shape == (0, 17, 2)
+    # keypoints land inside their boxes' neighbourhood (crop geometry sane)
+    for i, b in enumerate(boxes):
+        cx = kps[i, :, 0].mean()
+        assert b[0] - 100 < cx < b[2] + 100
+
+
+def test_label_box_detector(tmp_path):
+    from udp_pose_tpu.engine.detector import LabelBoxDetector
+    img = np.zeros((480, 640, 3), np.uint8)
+    (tmp_path / "img1.txt").write_text("0 0.5 0.5 0.25 0.5\n1 0.2 0.2 0.1 0.1\n")
+    det = LabelBoxDetector(str(tmp_path))
+    boxes = det.infer_for(img, "some/dir/img1.jpg")
+    assert boxes.shape == (1, 4)
+    assert det.infer_for(img, "some/dir/missing.jpg") is None

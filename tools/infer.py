@@ -1,0 +1,110 @@
+"""End-to-end detect-then-pose inference CLI (parity: inference_engine.py).
+
+Sources: --source image.jpg | dir/ | video.mp4 | webcam N
+Detector: --bbox-dir (YOLO label files, the pose-labeling mode) or
+full-frame fallback (one box covering the image) when no detector weights
+are wired.  Pose: --pose-cfg experiment yaml, --pose-weights msgpack/.pth.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="detect-then-pose inference")
+    p.add_argument("--source", required=True,
+                   help="image / dir / video path, or 'webcam:<id>'")
+    p.add_argument("--pose-cfg", required=True)
+    p.add_argument("--pose-weights", default="")
+    p.add_argument("--bbox-dir", default="",
+                   help="YOLO label dir (pose-labeling mode)")
+    p.add_argument("--save-dir", default="infer_out")
+    p.add_argument("--no-save", action="store_true")
+    p.add_argument("--show-fps", action="store_true")
+    p.add_argument("--person-class", type=int, default=0)
+    p.add_argument("opts", nargs=argparse.REMAINDER)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from udp_pose_tpu.utils.platform import maybe_force_platform
+    maybe_force_platform()
+    import cv2
+    from udp_pose_tpu.config import load_config
+    from udp_pose_tpu.engine.detector import LabelBoxDetector
+    from udp_pose_tpu.engine.io import FPS, VideoReader, VideoWriter
+    from udp_pose_tpu.engine.pose_engine import UdpPosePipeline
+
+    cfg = load_config(args.pose_cfg, args.opts)
+    pose = UdpPosePipeline(cfg, args.pose_weights or None)
+    label_det = (LabelBoxDetector(args.bbox_dir, args.person_class)
+                 if args.bbox_dir else None)
+
+    def boxes_for(frame, path=None):
+        if label_det is not None and path is not None:
+            return label_det.infer_for(frame, path)
+        h, w = frame.shape[:2]
+        return np.array([[0, 0, w - 1, h - 1]], np.float32)
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    fps = FPS()
+
+    def process(frame, path=None):
+        rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        boxes = boxes_for(rgb, path)
+        if boxes is None:
+            return frame
+        fps.start()
+        kps, maxvals = pose.infer_pose(rgb, boxes)
+        fps.stop(sync_value=kps, debug=args.show_fps)
+        return pose.draw_keypoints(frame, kps)
+
+    src = args.source
+    if src.startswith("webcam"):
+        from udp_pose_tpu.engine.io import WebcamStream
+        cam_id = int(src.split(":")[1]) if ":" in src else 0
+        for frame in WebcamStream(cam_id):
+            out = process(frame)
+            cv2.imshow("pose", out)
+            if cv2.waitKey(1) == ord("q"):
+                break
+    elif os.path.isdir(src):
+        for path in sorted(glob.glob(os.path.join(src, "*"))):
+            frame = cv2.imread(path)
+            if frame is None:
+                continue
+            out = process(frame, path)
+            if not args.no_save:
+                cv2.imwrite(os.path.join(args.save_dir,
+                                         os.path.basename(path)), out)
+    elif os.path.splitext(src)[1].lower() in (".mp4", ".avi", ".mov", ".mkv"):
+        reader = VideoReader(src)
+        writer = VideoWriter(os.path.join(
+            args.save_dir, "out_" + os.path.basename(src)), reader.fps)
+        for frame in reader:
+            out = process(frame)
+            if not args.no_save:
+                writer.update(out)
+        writer.write()
+    else:
+        frame = cv2.imread(src)
+        if frame is None:
+            raise SystemExit(f"cannot read {src}")
+        out = process(frame, src)
+        if not args.no_save:
+            out_path = os.path.join(args.save_dir, os.path.basename(src))
+            cv2.imwrite(out_path, out)
+            print(f"saved {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,5 @@
+"""Deployment engines: detect-then-pose pipeline (reference L6)."""
+
+from .pose_engine import SKELETONS, UdpPosePipeline
+
+__all__ = ["UdpPosePipeline", "SKELETONS"]

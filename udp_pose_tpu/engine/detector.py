@@ -1,0 +1,81 @@
+"""Person detectors for the detect-then-pose pipeline.
+
+Parity: inference_engine.py YoloDetectionAbs/Torch (:122-226).  The
+backbone is pluggable (the reference pulls weights from the yolov5
+submodule, which is not vendored there either — .gitmodules:1-3); what the
+framework owns is the letterbox preprocess, the NMS post, the person-class
+filter, and the ±5 px padding — all native here (ops/yolo.py).
+
+Backends:
+* ``YoloDetector(model_fn)`` — any callable ``(1,H,W,3)[0..1] → (1,N,5+nc)``
+  raw YOLO head output (e.g. a Flax model or imported weights).
+* ``LabelBoxDetector`` — reads YOLO-format label files (the reference's
+  ``--bbox-dir`` pose-labeling mode, inference_engine.py:271-340).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from ..ops.yolo import (letterbox, non_max_suppression, padding_bbox,
+                        scale_boxes, yolo2xyxy)
+
+
+class YoloDetector:
+    def __init__(self, model_fn: Callable, input_size=640, conf_thres=0.25,
+                 iou_thres=0.45, classes: Optional[Sequence[int]] = None,
+                 person_class=0, max_det=300):
+        self.model_fn = model_fn
+        self.input_size = input_size
+        self.conf_thres = conf_thres
+        self.iou_thres = iou_thres
+        self.classes = classes
+        self.person_class = person_class
+        self.max_det = max_det
+
+    def infer(self, image) -> Optional[np.ndarray]:
+        """image (H, W, 3) uint8 → (N, 4) person xyxy boxes or None."""
+        img = letterbox(image, self.input_size)
+        x = img[None].astype(np.float32) / 255.0
+        pred = np.asarray(self.model_fn(x))
+        det = non_max_suppression(pred, self.conf_thres, self.iou_thres,
+                                  classes=self.classes,
+                                  max_det=self.max_det)[0]
+        if not len(det):
+            return None
+        boxes = scale_boxes(det[:, :4], image.shape[:2], img.shape[:2])
+        persons = []
+        for box, cls in zip(boxes, det[:, 5].astype(int)):
+            if cls != self.person_class:
+                continue
+            x1, y1, x2, y2 = (int(v) for v in box)
+            persons.append(padding_bbox(x1, y1, x2, y2, image.shape))
+        return np.asarray(persons, np.float32) if persons else None
+
+
+class LabelBoxDetector:
+    """Boxes from YOLO-format .txt label files next to the images."""
+
+    def __init__(self, bbox_dir, person_class=0):
+        self.bbox_dir = bbox_dir
+        self.person_class = person_class
+
+    def infer_for(self, image, image_path) -> Optional[np.ndarray]:
+        stem = os.path.splitext(os.path.basename(image_path))[0]
+        label_file = os.path.join(self.bbox_dir, stem + ".txt")
+        if not os.path.exists(label_file):
+            return None
+        boxes = []
+        with open(label_file) as f:
+            for line in f:
+                parts = line.split()
+                if not parts:
+                    continue
+                if int(float(parts[0])) != self.person_class:
+                    continue
+                boxes.append(yolo2xyxy(image.shape[:2],
+                                       tuple(map(float, parts[1:5]))))
+        return np.asarray(boxes, np.float32) if boxes else None

@@ -1,0 +1,168 @@
+"""Top-down pose engine: ``infer_pose(img, boxes) → (keypoints, maxvals)``.
+
+TPU-native equivalent of ``UdpPsaPoseAbs`` + backends
+(deep_hrnet/pose_engine.py:15-228).  Differences are architectural, not
+behavioural: the per-person ``cv2.warpAffine`` loop (:73-80) becomes ONE
+batched gather from the HBM-resident frame; preprocessing, forward,
+optional flip-test, and UDP decode are a single jit graph.  Person counts
+are bucketed to powers of two so the jit cache stays small.
+
+Box → crop geometry matches pose_engine exactly: xyxy → center/scale with
+the model aspect ratio and ×1.25 (:55-63), then the *classic* 3-point
+affine (tools/infer_utils/utils.py:157-177) — NOT the UDP training warp.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+SKELETONS = {  # 1-based joint pairs (pose_engine.py:17-26)
+    "coco": [[16, 14], [14, 12], [17, 15], [15, 13], [12, 13], [6, 12],
+             [7, 13], [6, 7], [6, 8], [7, 9], [8, 10], [9, 11], [2, 3],
+             [1, 2], [1, 3], [2, 4], [3, 5], [4, 6], [5, 7]],
+    "mpii": [[9, 10], [12, 13], [12, 11], [3, 2], [2, 1], [14, 15],
+             [15, 16], [4, 5], [5, 6], [9, 8], [8, 7], [7, 3], [7, 4],
+             [9, 13], [9, 14]],
+}
+
+
+def _next_bucket(n, buckets=(1, 2, 4, 8, 16, 32, 64, 128)):
+    for b in buckets:
+        if n <= b:
+            return b
+    return ((n + 127) // 128) * 128
+
+
+class UdpPosePipeline:
+    """Build from a config (yaml path or Node) + weights.
+
+    ``weights`` may be a msgpack path (ours), a ``.pth`` path (converted via
+    utils/torch_convert), or a ready variables dict; None random-inits
+    (smoke mode).
+    """
+
+    def __init__(self, cfg, weights=None, flip_test=None):
+        import jax
+        import jax.numpy as jnp
+        from ..config import Node, load_config
+        from ..core.infer import COCO_FLIP_PAIRS, MPII_FLIP_PAIRS
+        from ..models import build_model
+
+        if not isinstance(cfg, Node):
+            cfg = load_config(cfg)
+        self.cfg = cfg
+        self.input_wh = tuple(cfg.MODEL.IMAGE_SIZE)
+        self.num_joints = cfg.MODEL.NUM_JOINTS
+        dataset = cfg.DATASET.DATASET.lower()
+        self.skeleton = SKELETONS.get(dataset)
+        self.flip_pairs = (MPII_FLIP_PAIRS if dataset == "mpii"
+                           else COCO_FLIP_PAIRS)
+        self.model = build_model(cfg)
+        self.variables = self._load_weights(weights)
+        self._flip = (cfg.TEST.FLIP_TEST if flip_test is None else flip_test)
+        self._infer_cache = {}
+
+    def _load_weights(self, weights):
+        import jax
+        import jax.numpy as jnp
+        if isinstance(weights, dict):
+            return weights
+        if weights and str(weights).endswith(".pth"):
+            from ..utils.torch_convert import load_torch_state_dict
+            sd = load_torch_state_dict(weights)
+            return self._convert(sd)
+        if weights:
+            from ..utils.checkpoint import load_weights
+            return load_weights(weights)
+        w, h = self.input_wh
+        return jax.jit(lambda r: self.model.init(
+            r, jnp.zeros((1, h, w, 3), jnp.float32), train=False)
+        )(jax.random.PRNGKey(0))
+
+    def _convert(self, sd):
+        from ..models.hrnet import stage_cfg
+        from ..utils import torch_convert as tc
+        name = self.cfg.MODEL.NAME
+        extra = self.cfg.MODEL.EXTRA
+        if name.startswith("pose_resnet"):
+            v, _ = tc.convert_pose_resnet(sd, extra.NUM_LAYERS,
+                                          psa="psa" in name)
+        elif name.startswith("pose_hrnet"):
+            stages = tuple(
+                stage_cfg(extra[k]["NUM_MODULES"], extra[k]["NUM_BRANCHES"],
+                          extra[k]["BLOCK"], extra[k]["NUM_BLOCKS"],
+                          extra[k]["NUM_CHANNELS"])
+                for k in ("STAGE2", "STAGE3", "STAGE4"))
+            v, _ = tc.convert_pose_hrnet(sd, stages, psa="psa" in name)
+        elif name == "rsn":
+            v, _ = tc.convert_rsn(sd, extra.get("STAGE_NUM", 1))
+        else:
+            raise ValueError(f"no .pth converter wired for {name}")
+        return v
+
+    def _build_infer(self, n_boxes):
+        import jax
+        import jax.numpy as jnp
+        from ..core.train import normalize_images
+        from ..ops.affine import classic_affine_matrix, crop_boxes
+        from ..ops.decode import get_final_preds
+        from ..ops.flip import flip_back, flip_back_offset
+
+        cfg = self.cfg
+        w, h = self.input_wh
+        target_type = cfg.MODEL.TARGET_TYPE
+        pairs = tuple(map(tuple, self.flip_pairs))
+        flip = self._flip
+
+        @jax.jit
+        def run(variables, frame, center, scale):
+            mats = jax.vmap(lambda c, s: classic_affine_matrix(
+                c, s, 0.0, (w, h), inv=True))(center, scale)
+            crops = crop_boxes(frame.astype(jnp.float32), mats, (h, w))
+            x = normalize_images(crops)
+            B = x.shape[0]
+            if flip:
+                x = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0)
+            out = self.model.apply(variables, x, train=False)
+            hm = out.transpose(0, 3, 1, 2).astype(jnp.float32)
+            if flip:
+                hm, hm_f = hm[:B], hm[B:]
+                hm_f = (flip_back_offset(hm_f, pairs)
+                        if target_type == "offset" else flip_back(hm_f, pairs))
+                hm = (hm + hm_f) * 0.5
+            preds, maxvals, _ = get_final_preds(
+                hm, center, scale, target_type=target_type,
+                post_process=cfg.TEST.POST_PROCESS, kpd=cfg.LOSS.KPD)
+            return preds, maxvals
+
+        return run
+
+    def infer_pose(self, img, boxes):
+        """img (H, W, 3) RGB uint8; boxes (N, ≥4) xyxy.
+        Returns (keypoints (N, J, 2) float32, maxvals (N, J, 1))."""
+        import jax.numpy as jnp
+        from ..ops.boxes import xyxy_to_cs
+
+        boxes = np.asarray(boxes, np.float32)
+        n = boxes.shape[0]
+        if n == 0:
+            return (np.zeros((0, self.num_joints, 2), np.float32),
+                    np.zeros((0, self.num_joints, 1), np.float32))
+        center, scale = xyxy_to_cs(boxes[:, :4], self.input_wh)
+        bucket = _next_bucket(n)
+        if bucket not in self._infer_cache:
+            self._infer_cache[bucket] = self._build_infer(bucket)
+        pad = bucket - n
+        center_p = np.concatenate([center, np.tile(center[:1], (pad, 1))])
+        scale_p = np.concatenate([scale, np.tile(scale[:1], (pad, 1))])
+        preds, maxvals = self._infer_cache[bucket](
+            self.variables, jnp.asarray(img), center_p, scale_p)
+        return np.asarray(preds)[:n], np.asarray(maxvals)[:n]
+
+    def draw_keypoints(self, image, keypoints, radius=1):
+        from .io import draw_keypoints
+        draw_keypoints(image, keypoints, self.skeleton, radius)
+        return image

@@ -31,16 +31,18 @@ COCO_SIGMAS = np.array(
 # host variants (eval-time, tiny N)
 # ---------------------------------------------------------------------------
 
-def nms_np(dets, thresh):
+def nms_np(dets, thresh, plus_one=True):
     """Greedy box NMS; dets (N, 5) [x1,y1,x2,y2,score] → kept indices.
 
-    Parity with reference pure-python ``nms`` (lib/nms/nms.py:35-72) and the
-    Cython/CUDA kernels it wraps.
+    ``plus_one=True`` uses the reference's +1 pixel-area convention
+    (lib/nms/nms.py:35-72, matching its Cython/CUDA kernels); ``False``
+    gives plain IoU (torchvision.ops.nms semantics, used by the YOLO path).
     """
     if len(dets) == 0:
         return []
+    e = 1.0 if plus_one else 0.0
     x1, y1, x2, y2, scores = dets[:, 0], dets[:, 1], dets[:, 2], dets[:, 3], dets[:, 4]
-    areas = (x2 - x1 + 1) * (y2 - y1 + 1)
+    areas = (x2 - x1 + e) * (y2 - y1 + e)
     order = scores.argsort()[::-1]
     keep = []
     while order.size > 0:
@@ -50,7 +52,7 @@ def nms_np(dets, thresh):
         yy1 = np.maximum(y1[i], y1[order[1:]])
         xx2 = np.minimum(x2[i], x2[order[1:]])
         yy2 = np.minimum(y2[i], y2[order[1:]])
-        inter = np.maximum(0.0, xx2 - xx1 + 1) * np.maximum(0.0, yy2 - yy1 + 1)
+        inter = np.maximum(0.0, xx2 - xx1 + e) * np.maximum(0.0, yy2 - yy1 + e)
         ovr = inter / (areas[i] + areas[order[1:]] - inter)
         order = order[1:][ovr <= thresh]
     return keep
