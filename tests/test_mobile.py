@@ -57,15 +57,17 @@ def test_mobile_pose_shapes(name, head):
 
 
 def test_registry_has_all_reference_names():
-    """The reference MODELS dict has 12 entries (models/__init__.py:28-41);
-    everything except the mobilevit family must be registered by now."""
+    """All 12 reference MODELS entries (models/__init__.py:28-41) plus rsn."""
     expected = {"pose_resnet", "pose_resnet_psa", "pose_hrnet",
                 "pose_hrnet_psa", "pose_shufflenetv2_plus",
                 "pose_shufflenetv2_plus_pixel_shuffle",
                 "pose_shufflenetv2_10x",
                 "pose_shufflenetv2_10x_pixel_shuffle",
                 "pose_mobilenetv3_small",
-                "pose_mobilenetv3_small_pixel_shuffle"}
+                "pose_mobilenetv3_small_pixel_shuffle",
+                "pose_mobilevit_pixel_shuffle",
+                "pose_mobilevitv2_pixel_shuffle",
+                "rsn"}
     assert expected <= set(MODELS)
 
 
@@ -147,3 +149,33 @@ def test_shufflenetv2_plus_backbone_parity():
                                  train=False)).transpose(0, 3, 1, 2)
     assert yf.shape == yt.shape
     np.testing.assert_allclose(yf, yt, rtol=1e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("name,extra", [
+    ("pose_mobilevit_pixel_shuffle", {"MODEL_SIZE": "xx_small"}),
+    ("pose_mobilevit_pixel_shuffle", {"MODEL_SIZE": "small"}),
+    ("pose_mobilevitv2_pixel_shuffle", {"WIDTH_MULTIPLIER": 0.5}),
+])
+def test_mobilevit_pose_shapes(name, extra):
+    cfg = _cfg(name, "ps")
+    cfg.MODEL.EXTRA.merge_from_dict(extra)
+    model = build_model(cfg)
+    x = jnp.zeros((1, 256, 192, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (1, 64, 48, 17), out.shape
+
+
+def test_mobilevit_backbone_channel_contract():
+    """Wrapper inplanes parity: 640/384/320 for s/xs/xxs (v1 wrapper
+    :28-32), 512/384/256 for v2 widths 1.0/0.75/0.5 (v2 wrapper :28-32)."""
+    from udp_pose_tpu.models.mobilevit import MobileViT, MobileViTv2
+    x = jnp.zeros((1, 64, 64, 3))
+    for mode, ch in (("small", 640), ("x_small", 384), ("xx_small", 320)):
+        m = MobileViT(mode=mode)
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+        assert m.apply(v, x, train=False).shape[-1] == ch, mode
+    for w, ch in ((1.0, 512), (0.75, 384), (0.5, 256)):
+        m = MobileViTv2(width=w)
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+        assert m.apply(v, x, train=False).shape[-1] == ch, w

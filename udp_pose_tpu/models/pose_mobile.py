@@ -112,3 +112,38 @@ def _mnv3(cfg):
 @register_model("pose_mobilenetv3_small_pixel_shuffle")
 def _mnv3_ps(cfg):
     return _common(cfg, MobileNetV3Small, {}, "pixel_shuffle")
+
+
+def _mvit_mode(cfg):
+    """Size from EXTRA.MODEL_SIZE or the MODEL.CONFIG yaml filename
+    (reference pose_mobilevit_pixel_shuffle.py:28-32 keys off sizes)."""
+    size = cfg.MODEL.EXTRA.get("MODEL_SIZE", None)
+    if size is None and cfg.MODEL.CONFIG:
+        name = str(cfg.MODEL.CONFIG)
+        size = ("xx_small" if "xxs" in name else
+                "x_small" if "xs" in name else "small")
+    return size or "small"
+
+
+@register_model("pose_mobilevit_pixel_shuffle")
+def _mvit_ps(cfg):
+    from .mobilevit import MobileViT
+    return _common(cfg, MobileViT, {"mode": _mvit_mode(cfg)},
+                   "pixel_shuffle")
+
+
+def _mvitv2_width(cfg):
+    width = cfg.MODEL.EXTRA.get("WIDTH_MULTIPLIER", None)
+    if width is None and cfg.MODEL.CONFIG:
+        name = str(cfg.MODEL.CONFIG)
+        for cand in ("0.5", "0.75", "1.0"):
+            if cand in name:
+                return float(cand)
+    return float(width or 1.0)
+
+
+@register_model("pose_mobilevitv2_pixel_shuffle")
+def _mvitv2_ps(cfg):
+    from .mobilevit import MobileViTv2
+    return _common(cfg, MobileViTv2, {"width": _mvitv2_width(cfg)},
+                   "pixel_shuffle")
