@@ -100,7 +100,12 @@ class JointsDataset:
         return center, scale
 
     def _read_image(self, path):
-        img = cv2.imread(path, cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION)
+        if self.data_format == "zip" or "@" in path:
+            from ..utils import zipreader
+            img = zipreader.imread(path)
+        else:
+            img = cv2.imread(
+                path, cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION)
         if img is None:
             raise ValueError(f"fail to read {path}")
         if self.color_rgb:
@@ -114,6 +119,8 @@ class JointsDataset:
         rng = self._rng
 
         img = self._read_image(rec["image"])
+        if img is None:
+            raise ValueError(f"fail to read {rec['image']}")
         joints = rec["joints_3d"]
         joints_vis = rec["joints_3d_vis"]
         c = rec["center"].copy()
