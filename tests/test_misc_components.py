@@ -1,0 +1,170 @@
+"""Alt decoders, standalone engine, tolerant loader, summary, plot_coco."""
+
+import json
+import os
+
+import cv2
+import jax
+import numpy as np
+import pytest
+
+from udp_pose_tpu.ops.alt_decode import shift_decode, simdr_decode
+
+
+def _ref_shift_decode(heatmaps, center, scale):
+    """Loop replication of tools/infer_utils/decode.py:19-62."""
+    import math
+    B, C, H, W = heatmaps.shape
+    flat = heatmaps.reshape(B, C, -1)
+    idx = flat.argmax(2)[..., None]
+    maxvals = flat.max(2)[..., None]
+    coords = np.tile(idx, (1, 1, 2)).astype(np.float32)
+    coords[:, :, 0] = coords[:, :, 0] % W
+    coords[:, :, 1] = coords[:, :, 1] // W
+    coords = np.where(np.tile(maxvals, (1, 1, 2)) > 0.0, coords, -1)
+    for n in range(B):
+        for p in range(C):
+            hm = heatmaps[n][p]
+            px = int(math.floor(coords[n][p][0] + 0.5))
+            py = int(math.floor(coords[n][p][1] + 0.5))
+            if 1 < px < W - 1 and 1 < py < H - 1:
+                diff = np.array([hm[py][px + 1] - hm[py][px - 1],
+                                 hm[py + 1][px] - hm[py - 1][px]])
+                coords[n][p] += np.sign(diff) * 0.25
+    for i in range(B):
+        s200 = scale[i] * 200
+        coords[i, :, 0] = coords[i, :, 0] * s200[0] / W + center[i, 0] - s200[0] * 0.5
+        coords[i, :, 1] = coords[i, :, 1] * s200[1] / H + center[i, 1] - s200[1] * 0.5
+    return coords.astype(int)
+
+
+def test_shift_decode_parity():
+    rng = np.random.default_rng(110)
+    hm = rng.uniform(0, 1, (2, 5, 32, 24)).astype(np.float32)
+    center = rng.uniform(100, 300, (2, 2)).astype(np.float32)
+    scale = rng.uniform(0.5, 1.5, (2, 2)).astype(np.float32)
+    gold = _ref_shift_decode(hm.copy(), center, scale)
+    got = np.asarray(shift_decode(hm, center, scale))
+    np.testing.assert_array_equal(got, gold)
+
+
+def test_simdr_decode_shapes():
+    rng = np.random.default_rng(111)
+    px = rng.normal(size=(2, 17, 384)).astype(np.float32)
+    py = rng.normal(size=(2, 17, 512)).astype(np.float32)
+    center = rng.uniform(100, 300, (2, 2)).astype(np.float32)
+    scale = rng.uniform(0.5, 1.5, (2, 2)).astype(np.float32)
+    out = np.asarray(simdr_decode(px, py, center, scale, (192, 256)))
+    assert out.shape == (2, 17, 2)
+    assert out.dtype == np.int32
+
+
+def test_standalone_engine():
+    from udp_pose_tpu.engine.standalone import StandalonePoseEngine
+
+    def fake_model(x):
+        # heatmaps with a peak at a fixed relative position
+        B = x.shape[0]
+        hm = np.zeros((B, 64, 48, 17), np.float32)
+        hm[:, 32, 24, :] = 1.0
+        return hm
+
+    eng = StandalonePoseEngine(fake_model, (192, 256))
+    rng = np.random.default_rng(112)
+    img = rng.integers(0, 255, (480, 640, 3), np.uint8)
+    boxes = np.array([[100, 100, 300, 400]])
+    kps, maxvals = eng.infer_pose(img, boxes)
+    assert kps.shape == (1, 17, 2)
+    # peak at the crop centre → keypoints at the box centre
+    np.testing.assert_allclose(kps[0, 0], [200, 250], atol=8)
+
+
+def test_tolerant_loader_suffix_alignment(tmp_path):
+    from udp_pose_tpu.config import default_config
+    from udp_pose_tpu.models import build_model
+    from udp_pose_tpu.utils.checkpoint import (align_suffix_keys,
+                                               load_weights_tolerant,
+                                               save_weights)
+    # suffix alignment on synthetic keys
+    model_flat = {"backbone/layer1_0/cb1/conv/kernel": 1,
+                  "head/kernel": 2}
+    loaded_flat = {"layer1_0/cb1/conv/kernel": np.zeros(3),
+                   "kernel": np.ones(2)}
+    aligned = align_suffix_keys(model_flat, loaded_flat)
+    assert "backbone/layer1_0/cb1/conv/kernel" in aligned
+    assert "head/kernel" in aligned
+
+    # end-to-end: weights saved from one model load into the same model
+    cfg = default_config()
+    cfg.MODEL.NAME = "pose_resnet"
+    cfg.MODEL.IMAGE_SIZE = [64, 64]
+    cfg.MODEL.HEATMAP_SIZE = [16, 16]
+    cfg.MODEL.EXTRA.merge_from_dict({
+        "NUM_LAYERS": 18, "NUM_DECONV_LAYERS": 3,
+        "NUM_DECONV_FILTERS": [32, 32, 32],
+        "NUM_DECONV_KERNELS": [4, 4, 4],
+        "DECONV_WITH_BIAS": False, "FINAL_CONV_KERNEL": 1})
+    cfg.TPU.DTYPE = "float32"
+    model = build_model(cfg)
+    import jax.numpy as jnp
+    v = jax.jit(lambda r: model.init(r, jnp.zeros((1, 64, 64, 3)),
+                                     train=False))(jax.random.PRNGKey(0))
+
+    class _S:
+        params = v["params"]
+        batch_stats = v["batch_stats"]
+    save_weights(tmp_path / "w.msgpack", _S)
+    restored, skipped = load_weights_tolerant(
+        str(tmp_path / "w.msgpack"), model, (1, 64, 64, 3))
+    assert not skipped
+    out = model.apply(restored, jnp.zeros((1, 64, 64, 3)), train=False)
+    gold = model.apply(v, jnp.zeros((1, 64, 64, 3)), train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(gold))
+
+
+def test_model_summary_flops():
+    from udp_pose_tpu.config import default_config
+    from udp_pose_tpu.models import build_model
+    from udp_pose_tpu.utils.summary import get_model_summary, model_flops
+    import jax.numpy as jnp
+    cfg = default_config()
+    cfg.MODEL.NAME = "pose_resnet"
+    cfg.MODEL.IMAGE_SIZE = [192, 256]
+    cfg.MODEL.HEATMAP_SIZE = [48, 64]
+    cfg.MODEL.EXTRA.merge_from_dict({
+        "NUM_LAYERS": 50, "NUM_DECONV_LAYERS": 3,
+        "NUM_DECONV_FILTERS": [256, 256, 256],
+        "NUM_DECONV_KERNELS": [4, 4, 4],
+        "DECONV_WITH_BIAS": False, "FINAL_CONV_KERNEL": 1})
+    cfg.TPU.DTYPE = "float32"
+    model = build_model(cfg)
+    v = jax.jit(lambda r: model.init(r, jnp.zeros((1, 256, 192, 3)),
+                                     train=False))(jax.random.PRNGKey(0))
+    flops = model_flops(model, v, (1, 256, 192, 3))
+    # reference publishes 8.9 GFLOPs conv+linear-only for resnet50 256x192
+    # (BASELINE.md); XLA counts MACs as 2 flops + all other ops
+    assert 7e9 < flops < 25e9, flops
+    s = get_model_summary(model, v, (1, 256, 192, 3))
+    assert "34.0" in s or "34." in s
+
+
+def test_plot_coco(tmp_path):
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from plot_coco import plot
+    rng = np.random.default_rng(113)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    cv2.imwrite(str(img_dir / ("%012d.jpg" % 7)),
+                rng.integers(0, 255, (240, 320, 3), np.uint8))
+    kp = []
+    for j in range(17):
+        kp += [float(50 + j * 10), float(60 + j * 8), 0.9]
+    results = [{"image_id": 7, "category_id": 1, "keypoints": kp,
+                "score": 0.95}]
+    rf = tmp_path / "results.json"
+    rf.write_text(json.dumps(results))
+    n = plot(str(rf), str(img_dir), str(tmp_path / "plots"))
+    assert n == 1
+    out = cv2.imread(str(tmp_path / "plots" / ("%012d.jpg" % 7)))
+    assert out is not None and (out != 0).any()

@@ -53,6 +53,69 @@ def load_weights(path):
         return serialization.msgpack_restore(f.read())
 
 
+def align_suffix_keys(model_flat: dict, loaded_flat: dict) -> dict:
+    """Longest-suffix key alignment for tolerant weight loading.
+
+    Parity: RSN/cvpack/torch_modeling/engine/checkpoint.py:50-89 — for each
+    model key, pick the loaded key that is its longest suffix (handles
+    prefix changes like ``module.`` nesting or backbone re-rooting).
+    Operates on flat ``a/b/c`` path dicts; returns a re-keyed loaded dict.
+    """
+    out = dict(loaded_flat)
+    loaded_keys = sorted(loaded_flat)
+    for mk in sorted(model_flat):
+        best, best_len = None, 0
+        for lk in loaded_keys:
+            if mk.endswith(lk) and len(lk) > best_len:
+                best, best_len = lk, len(lk)
+        if best is not None and best != mk:
+            out[mk] = out.pop(best)
+    return out
+
+
+def load_weights_tolerant(path, model, input_shape):
+    """Load weights with suffix alignment + shape filtering against a fresh
+    init (the reference's tolerant ``load_model``, checkpoint.py:6-47)."""
+    import jax
+    import jax.numpy as jnp
+
+    ref = jax.eval_shape(
+        lambda r: model.init(r, jnp.zeros(input_shape, jnp.float32),
+                             train=False), jax.random.PRNGKey(0))
+    ref_flat = _flatten_tree(serialization.to_state_dict(ref))
+    loaded_flat = _flatten_tree(load_weights(path))
+    aligned = align_suffix_keys(ref_flat, loaded_flat)
+    kept, skipped = {}, []
+    for k, shape_struct in ref_flat.items():
+        if k in aligned and tuple(np.shape(aligned[k])) == \
+                tuple(shape_struct.shape):
+            kept[k] = aligned[k]
+        else:
+            skipped.append(k)
+    return _unflatten_tree(kept), skipped
+
+
+def _flatten_tree(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten_tree(v, f"{prefix}{k}/"))
+    else:
+        out[prefix[:-1]] = tree
+    return out
+
+
+def _unflatten_tree(flat):
+    out = {}
+    for k, v in flat.items():
+        node = out
+        parts = k.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return out
+
+
 def load_checkpoint(output_dir, state):
     """Restore a TrainState from checkpoint.msgpack; returns
     (state, begin_epoch, best_perf) or (state, 0, 0.0) if absent."""
