@@ -49,11 +49,13 @@ ALL_MOBILE = [
 @pytest.mark.parametrize("name,head", ALL_MOBILE)
 def test_mobile_pose_shapes(name, head):
     cfg = _cfg(name, head)
+    cfg.MODEL.IMAGE_SIZE = [96, 128]
+    cfg.MODEL.HEATMAP_SIZE = [24, 32]
     model = build_model(cfg)
-    x = jnp.zeros((1, 256, 192, 3))
+    x = jnp.zeros((1, 128, 96, 3))
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
     out = model.apply(variables, x, train=False)
-    assert out.shape == (1, 64, 48, 17), out.shape
+    assert out.shape == (1, 32, 24, 17), out.shape
 
 
 def test_registry_has_all_reference_names():
@@ -110,7 +112,7 @@ def test_shufflenetv2_backbone_parity():
     assert not unused, unused[:8]
     fmodel = ShuffleNetV2(model_size="1.0x")
     rng = np.random.default_rng(1)
-    x = rng.normal(size=(1, 3, 224, 224)).astype(np.float32)
+    x = rng.normal(size=(1, 3, 128, 128)).astype(np.float32)
     with torch.no_grad():
         # reference forward up to conv_last (clf=False path returns there)
         t = tmodel.first_conv(torch.tensor(x))
@@ -140,7 +142,7 @@ def test_shufflenetv2_plus_backbone_parity():
     assert not unused, unused[:8]
     fmodel = ShuffleNetV2Plus(model_size="Small")
     rng = np.random.default_rng(2)
-    x = rng.normal(size=(1, 3, 224, 224)).astype(np.float32)
+    x = rng.normal(size=(1, 3, 128, 128)).astype(np.float32)
     with torch.no_grad():
         t = tmodel.first_conv(torch.tensor(x))
         t = tmodel.features(t)
@@ -153,17 +155,18 @@ def test_shufflenetv2_plus_backbone_parity():
 
 @pytest.mark.parametrize("name,extra", [
     ("pose_mobilevit_pixel_shuffle", {"MODEL_SIZE": "xx_small"}),
-    ("pose_mobilevit_pixel_shuffle", {"MODEL_SIZE": "small"}),
     ("pose_mobilevitv2_pixel_shuffle", {"WIDTH_MULTIPLIER": 0.5}),
 ])
 def test_mobilevit_pose_shapes(name, extra):
     cfg = _cfg(name, "ps")
+    cfg.MODEL.IMAGE_SIZE = [96, 128]
+    cfg.MODEL.HEATMAP_SIZE = [24, 32]
     cfg.MODEL.EXTRA.merge_from_dict(extra)
     model = build_model(cfg)
-    x = jnp.zeros((1, 256, 192, 3))
+    x = jnp.zeros((1, 128, 96, 3))
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
     out = model.apply(variables, x, train=False)
-    assert out.shape == (1, 64, 48, 17), out.shape
+    assert out.shape == (1, 32, 24, 17), out.shape
 
 
 def test_mobilevit_backbone_channel_contract():

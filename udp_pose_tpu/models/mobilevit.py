@@ -80,9 +80,14 @@ class MV2Block(nn.Module):
 def unfold_patches(x, ph, pw):
     """NHWC (B,H,W,C) → (B, P, N, C): P = intra-patch pixel (row-major),
     N = patch position (row-major) — torch unfolding order parity
-    (mobilevit.py:594-625)."""
+    (mobilevit.py:594-625).  Non-divisible sizes are bilinearly resized to
+    the ceil multiple (reference :600-607, align_corners=False); callers
+    resize back via :func:`fold_patches` with the original hw."""
     B, H, W, C = x.shape
-    nh, nw = H // ph, W // pw
+    nh = -(-H // ph)
+    nw = -(-W // pw)
+    if (nh * ph, nw * pw) != (H, W):
+        x = jax.image.resize(x, (B, nh * ph, nw * pw, C), method="bilinear")
     x = x.reshape(B, nh, ph, nw, pw, C)
     x = x.transpose(0, 2, 4, 1, 3, 5)           # B, ph, pw, nh, nw, C
     return x.reshape(B, ph * pw, nh * nw, C)
@@ -91,10 +96,14 @@ def unfold_patches(x, ph, pw):
 def fold_patches(p, hw, ph, pw):
     B, P, N, C = p.shape
     H, W = hw
-    nh, nw = H // ph, W // pw
+    nh = -(-H // ph)
+    nw = -(-W // pw)
     x = p.reshape(B, ph, pw, nh, nw, C)
     x = x.transpose(0, 3, 1, 4, 2, 5)           # B, nh, ph, nw, pw, C
-    return x.reshape(B, H, W, C)
+    x = x.reshape(B, nh * ph, nw * pw, C)
+    if (nh * ph, nw * pw) != (H, W):
+        x = jax.image.resize(x, (B, H, W, C), method="bilinear")
+    return x
 
 
 class TransformerEncoder(nn.Module):
