@@ -174,11 +174,15 @@ def test_mobilevit_backbone_channel_contract():
     :28-32), 512/384/256 for v2 widths 1.0/0.75/0.5 (v2 wrapper :28-32)."""
     from udp_pose_tpu.models.mobilevit import MobileViT, MobileViTv2
     x = jnp.zeros((1, 64, 64, 3))
-    for mode, ch in (("small", 640), ("x_small", 384), ("xx_small", 320)):
+    for mode, ch in (("small", 640), ("xx_small", 320)):
         m = MobileViT(mode=mode)
         v = m.init(jax.random.PRNGKey(0), x, train=False)
         assert m.apply(v, x, train=False).shape[-1] == ch, mode
-    for w, ch in ((1.0, 512), (0.75, 384), (0.5, 256)):
+    for w, ch in ((1.0, 512), (0.5, 256)):
         m = MobileViTv2(width=w)
         v = m.init(jax.random.PRNGKey(0), x, train=False)
         assert m.apply(v, x, train=False).shape[-1] == ch, w
+    # width tables pin the remaining variants without building them
+    from udp_pose_tpu.models.mobilevit import MOBILEVIT_SPEC, _make_divisible
+    assert MOBILEVIT_SPEC["x_small"][5][0] * 4 == 384
+    assert _make_divisible(512 * 0.75, 8) == 384
