@@ -1,0 +1,129 @@
+"""On-device augmentation pipeline: geometry equivalence with the host
+path and statistical behaviour of the random augs."""
+
+import cv2
+import jax
+import numpy as np
+import pytest
+
+from udp_pose_tpu.config import default_config
+from udp_pose_tpu.data.device_pipeline import make_device_augment, pad_to_canvas
+
+COCO_PAIRS = [[1, 2], [3, 4], [5, 6], [7, 8], [9, 10], [11, 12], [13, 14],
+              [15, 16]]
+UPPER = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
+
+
+def _cfg(flip=True, cutout=None):
+    cfg = default_config()
+    cfg.MODEL.IMAGE_SIZE = [96, 128]
+    cfg.MODEL.HEATMAP_SIZE = [24, 32]
+    cfg.MODEL.TARGET_TYPE = "gaussian"
+    cfg.DATASET.FLIP = flip
+    cfg.DATASET.SCALE_FACTOR = 0.25
+    cfg.DATASET.ROT_FACTOR = 30
+    cfg.DATASET.PROB_HALF_BODY = 0.0
+    if cutout:
+        cfg.DATASET.CUTOUT = cutout
+    return cfg
+
+
+def _batch(rng, B=4, canvas=(240, 320)):
+    canvases, widths = [], []
+    joints = rng.uniform(60, 200, (B, 17, 2)).astype(np.float32)
+    vis = np.ones((B, 17), np.float32)
+    center = rng.uniform(100, 180, (B, 2)).astype(np.float32)
+    scale = rng.uniform(0.5, 0.8, (B, 2)).astype(np.float32)
+    for _ in range(B):
+        img = rng.integers(0, 255, (200, 280, 3), np.uint8)
+        c, (h, w) = pad_to_canvas(img, canvas)
+        canvases.append(c)
+        widths.append(w)
+    return {"canvas": np.stack(canvases), "joints": joints,
+            "joints_vis": vis, "center": center, "scale": scale,
+            "width": np.asarray(widths, np.float32)}
+
+
+def test_no_aug_matches_host_crop():
+    """With all randomness off, the device crop equals the host cv2 path."""
+    from udp_pose_tpu.ops.affine import udp_warp_matrix_np
+    cfg = _cfg(flip=False)
+    cfg.DATASET.SCALE_FACTOR = 0.0
+    cfg.DATASET.ROT_FACTOR = 0.0
+    rng = np.random.default_rng(140)
+    batch = _batch(rng, B=2)
+    aug = make_device_augment(cfg, 17, COCO_PAIRS, UPPER, (240, 320))
+    crops, target, weight = aug(jax.random.PRNGKey(0), batch)
+    for i in range(2):
+        M = udp_warp_matrix_np(0.0, batch["center"][i], batch["scale"][i],
+                               (96, 128))
+        gold = cv2.warpAffine(
+            batch["canvas"][i], M, (96, 128),
+            flags=cv2.WARP_INVERSE_MAP | cv2.INTER_LINEAR).astype(np.float32)
+        assert np.abs(np.asarray(crops[i]) - gold).mean() < 1.5
+    assert target.shape == (2, 17, 32, 24)
+    assert weight.shape == (2, 17)
+
+
+def test_aug_varies_with_key_and_targets_track_joints():
+    cfg = _cfg()
+    rng = np.random.default_rng(141)
+    batch = _batch(rng)
+    aug = make_device_augment(cfg, 17, COCO_PAIRS, UPPER, (240, 320))
+    c1, t1, w1 = aug(jax.random.PRNGKey(1), batch)
+    c2, t2, w2 = aug(jax.random.PRNGKey(2), batch)
+    assert not np.allclose(np.asarray(c1), np.asarray(c2))
+    # gaussian peaks exist where weights are on
+    t1 = np.asarray(t1)
+    w1 = np.asarray(w1)
+    on = w1 > 0.5
+    assert t1[on].max() > 0.5
+
+
+def test_cutout_zeroes_pixels():
+    cfg = _cfg(cutout=[1.0, 0.3, 1])
+    rng = np.random.default_rng(142)
+    batch = _batch(rng)
+    # bright canvas so zeros are unambiguous
+    batch["canvas"] = np.full_like(batch["canvas"], 200)
+    aug = make_device_augment(cfg, 17, COCO_PAIRS, UPPER, (240, 320))
+    crops, _, _ = aug(jax.random.PRNGKey(3), batch)
+    crops = np.asarray(crops)
+    frac_zero = (crops == 0).mean()
+    assert frac_zero > 0.01, frac_zero
+
+
+def test_flip_fold_geometry():
+    """With flip forced on (prob 0.5 → use many keys), flipped crops match
+    host flip-then-crop."""
+    from udp_pose_tpu.ops.affine import udp_warp_matrix_np
+    cfg = _cfg(flip=True)
+    cfg.DATASET.SCALE_FACTOR = 0.0
+    cfg.DATASET.ROT_FACTOR = 0.0
+    rng = np.random.default_rng(143)
+    batch = _batch(rng, B=8)
+    aug = make_device_augment(cfg, 17, COCO_PAIRS, UPPER, (240, 320))
+    crops, _, _ = aug(jax.random.PRNGKey(4), batch)
+    crops = np.asarray(crops)
+    matched = 0
+    for i in range(8):
+        w_img = int(batch["width"][i])
+        # candidate A: unflipped host crop
+        M = udp_warp_matrix_np(0.0, batch["center"][i], batch["scale"][i],
+                               (96, 128))
+        gold_a = cv2.warpAffine(batch["canvas"][i], M, (96, 128),
+                                flags=cv2.WARP_INVERSE_MAP | cv2.INTER_LINEAR)
+        # candidate B: host flip-then-crop with mirrored centre
+        img_f = batch["canvas"][i][:, ::-1].copy()
+        # canvas mirror: content sits at [canvas_W - w_img:]; shift back
+        img_f = np.roll(img_f, w_img - batch["canvas"].shape[2], axis=1)
+        c_f = batch["center"][i].copy()
+        c_f[0] = w_img - c_f[0] - 1
+        Mf = udp_warp_matrix_np(0.0, c_f, batch["scale"][i], (96, 128))
+        gold_b = cv2.warpAffine(img_f, Mf, (96, 128),
+                                flags=cv2.WARP_INVERSE_MAP | cv2.INTER_LINEAR)
+        da = np.abs(crops[i] - gold_a).mean()
+        db = np.abs(crops[i] - gold_b).mean()
+        assert min(da, db) < 1.5, (i, da, db)
+        matched += db < da
+    assert 0 < matched < 8  # both branches exercised at prob 0.5
