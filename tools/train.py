@@ -69,10 +69,25 @@ def main():
     batch_size = cfg.TRAIN.BATCH_SIZE_PER_GPU * n_dev
     steps_per_epoch = max(len(train_ds) // batch_size, 1)
 
+    is_rsn = cfg.MODEL.NAME == "rsn"
     state = create_train_state(cfg, model, jax.random.PRNGKey(0),
                                steps_per_epoch)
+    if is_rsn:
+        from udp_pose_tpu.core.rsn import (make_rsn_optimizer,
+                                           make_rsn_train_step)
+        from udp_pose_tpu.core.train import TrainState
+        tx = make_rsn_optimizer(
+            cfg.TRAIN.LR, cfg.TRAIN.WD,
+            max_iters=max(steps_per_epoch * cfg.TRAIN.END_EPOCH, 2),
+            warmup_iters=min(1000, steps_per_epoch))
+        state = TrainState.create(model.apply, state.params,
+                                  state.batch_stats, tx)
+        step_fn = make_rsn_train_step(
+            cfg.MODEL.EXTRA.get("STAGE_NUM", 1), ohkm=cfg.LOSS.USE_OHKM,
+            topk=cfg.LOSS.TOPK)
+    else:
+        step_fn = make_train_step(make_loss_fn(cfg))
     state = jax.device_put(state, replicated(mesh))
-    step_fn = make_train_step(make_loss_fn(cfg))
 
     begin_epoch, best_perf = cfg.TRAIN.BEGIN_EPOCH, 0.0
     if cfg.AUTO_RESUME:
@@ -88,15 +103,23 @@ def main():
         t_end = time.time()
         for i, batch in enumerate(epoch_loader(
                 train_ds, batch_size, shuffle=cfg.TRAIN.SHUFFLE, seed=epoch)):
-            device_batch = shard_batch(mesh, {
-                "image": batch["image"],          # uint8: 1/4 the transfer
-                "target": batch["target"],
-                "target_weight": batch["target_weight"],
-            })
-            device_batch["image"] = normalize_images(device_batch["image"])
+            if is_rsn:
+                device_batch = shard_batch(mesh, {
+                    "image": batch["image"],
+                    "labels": batch["labels"],
+                    "valid": batch["valid"],
+                })
+            else:
+                device_batch = shard_batch(mesh, {
+                    "image": batch["image"],      # uint8: 1/4 the transfer
+                    "target": batch["target"],
+                    "target_weight": batch["target_weight"],
+                })
+                device_batch["image"] = normalize_images(
+                    device_batch["image"])
             state, metrics = step_fn(state, device_batch)
             if i % cfg.PRINT_FREQ == 0:
-                loss = float(metrics["loss"])
+                loss = float(metrics.get("loss", metrics.get("total_loss")))
                 losses.update(loss, batch["image"].shape[0])
                 speed = batch["image"].shape[0] / max(time.time() - t_end, 1e-9)
                 logger.info(

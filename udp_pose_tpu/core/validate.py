@@ -21,12 +21,43 @@ logger = logging.getLogger(__name__)
 
 
 def validate(cfg, dataset, model, variables, output_dir="",
-             batch_size=None, infer_fn=None):
-    """Returns (name_values, perf_indicator)."""
+             batch_size=None, infer_fn=None, mesh=None):
+    """Returns (name_values, perf_indicator).
+
+    With ``mesh``, eval batches shard over the 'data' axis (the sharded
+    equivalent of the reference's rank-Subset eval,
+    RSN/lib/utils/dataloader.py:86-92 — but as one sharded computation
+    instead of per-process subsets).
+    """
+    pairs = tuple(map(tuple, dataset.flip_pairs))
     if infer_fn is None:
-        infer_fn = make_infer_fn_from_cfg(
-            model, cfg, flip_pairs=tuple(map(tuple, dataset.flip_pairs)))
+        if cfg.MODEL.NAME == "rsn":
+            from ..data.rsn import RSN_COCO, RSN_MPII
+            from .rsn import make_rsn_infer_fn
+            attr = RSN_MPII if cfg.DATASET.DATASET == "mpii" else RSN_COCO
+            w, h = cfg.MODEL.IMAGE_SIZE
+            infer_fn = make_rsn_infer_fn(
+                model, flip_test=cfg.TEST.FLIP_TEST, flip_pairs=pairs,
+                kernel=attr["test_gaussian_kernel"],
+                shifts=tuple(attr["test_shift_ratios"]),
+                input_size_hw=(h, w))
+        else:
+            infer_fn = make_infer_fn_from_cfg(model, cfg, flip_pairs=pairs)
     batch_size = batch_size or cfg.TEST.BATCH_SIZE_PER_GPU
+    if mesh is not None:
+        from ..parallel import batch_sharding, replicated
+        import jax
+        n_data = mesh.shape["data"]
+        batch_size = ((batch_size + n_data - 1) // n_data) * n_data
+        variables = jax.device_put(variables, replicated(mesh))
+        _sh = batch_sharding(mesh)
+        base_infer = infer_fn
+
+        def infer_fn(v, images, center, scale):   # noqa: F811
+            import jax as _jax
+            return base_infer(
+                v, _jax.device_put(images, _sh),
+                _jax.device_put(center, _sh), _jax.device_put(scale, _sh))
 
     n = len(dataset)
     J = cfg.MODEL.NUM_JOINTS
@@ -52,12 +83,13 @@ def validate(cfg, dataset, model, variables, output_dir="",
         maxvals = np.asarray(maxvals)[:bs]
         hm_np = np.asarray(hm)[:bs]
 
-        if cfg.MODEL.TARGET_TYPE == "offset":
-            _, avg_acc, cnt, _ = pck_accuracy(hm_np[:, ::3],
-                                              batch["target"][:, ::3])
-        else:
-            _, avg_acc, cnt, _ = pck_accuracy(hm_np, batch["target"])
-        accs.append((avg_acc, cnt))
+        if "target" in batch:
+            if cfg.MODEL.TARGET_TYPE == "offset":
+                _, avg_acc, cnt, _ = pck_accuracy(hm_np[:, ::3],
+                                                  batch["target"][:, ::3])
+            else:
+                _, avg_acc, cnt, _ = pck_accuracy(hm_np, batch["target"])
+            accs.append((avg_acc, cnt))
 
         all_preds[idx:idx + bs, :, 0:2] = preds
         all_preds[idx:idx + bs, :, 2:3] = maxvals
