@@ -121,3 +121,52 @@ def test_label_box_detector(tmp_path):
     boxes = det.infer_for(img, "some/dir/img1.jpg")
     assert boxes.shape == (1, 4)
     assert det.infer_for(img, "some/dir/missing.jpg") is None
+
+
+def test_pose_pipeline_loads_reference_pth(tmp_path):
+    """A torch checkpoint saved from the *reference* pose_resnet loads
+    through UdpPosePipeline(.pth) and matches direct conversion."""
+    import os
+    import sys
+    import types
+    import importlib
+    REF = "/root/reference/deep_hrnet/lib/models"
+    if not os.path.isdir(REF):
+        import pytest
+        pytest.skip("no reference")
+    import torch
+    import jax.numpy as jnp
+    from udp_pose_tpu.config import default_config
+    from udp_pose_tpu.engine.pose_engine import UdpPosePipeline
+
+    if "refmodels" not in sys.modules:
+        pkg = types.ModuleType("refmodels")
+        pkg.__path__ = [REF]
+        sys.modules["refmodels"] = pkg
+    ref = importlib.import_module("refmodels.pose_resnet")
+
+    cfg = default_config()
+    cfg.MODEL.NAME = "pose_resnet"
+    cfg.DATASET.DATASET = "coco"
+    cfg.MODEL.IMAGE_SIZE = [96, 128]
+    cfg.MODEL.HEATMAP_SIZE = [24, 32]
+    cfg.MODEL.INIT_WEIGHTS = False
+    cfg.MODEL.EXTRA.merge_from_dict({
+        "NUM_LAYERS": 18, "NUM_DECONV_LAYERS": 3,
+        "NUM_DECONV_FILTERS": [64, 64, 64],
+        "NUM_DECONV_KERNELS": [4, 4, 4],
+        "DECONV_WITH_BIAS": False, "FINAL_CONV_KERNEL": 1})
+    cfg.TPU.DTYPE = "float32"
+    tmodel = ref.get_pose_net(cfg, is_train=False)
+    # DataParallel-style module. prefixes must be stripped on load
+    sd = {"module." + k: v for k, v in tmodel.state_dict().items()}
+    pth = tmp_path / "w.pth"
+    torch.save(sd, pth)
+
+    pipe = UdpPosePipeline(cfg, weights=str(pth), flip_test=False)
+    rng = np.random.default_rng(150)
+    frame = rng.integers(0, 255, (300, 400, 3), np.uint8)
+    boxes = np.array([[80, 40, 240, 280]], np.float32)
+    kps, maxvals = pipe.infer_pose(frame, boxes)
+    assert kps.shape == (1, 17, 2)
+    assert np.isfinite(kps).all()
