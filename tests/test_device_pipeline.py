@@ -127,3 +127,30 @@ def test_flip_fold_geometry():
         assert min(da, db) < 1.5, (i, da, db)
         matched += db < da
     assert 0 < matched < 8  # both branches exercised at prob 0.5
+
+
+def test_device_prefetch_loader():
+    from udp_pose_tpu.data.prefetch import device_prefetch
+    rng = np.random.default_rng(170)
+
+    def host_iter():
+        for i in range(5):
+            yield {"image": rng.uniform(size=(2, 8, 8, 3)).astype(np.float32),
+                   "idx": i, "image_path": ["a", "b"]}
+
+    seen = list(device_prefetch(host_iter(), keys={"image"}))
+    assert len(seen) == 5
+    assert hasattr(seen[0]["image"], "devices")  # on device
+    assert seen[3]["idx"] == 3                   # meta passthrough
+
+
+def test_device_prefetch_propagates_errors():
+    from udp_pose_tpu.data.prefetch import device_prefetch
+
+    def bad_iter():
+        yield {"image": np.zeros((1, 2, 2, 3), np.float32)}
+        raise RuntimeError("boom")
+
+    import pytest
+    with pytest.raises(RuntimeError, match="boom"):
+        list(device_prefetch(bad_iter(), keys={"image"}))
