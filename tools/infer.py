@@ -26,6 +26,11 @@ def parse_args():
     p.add_argument("--pose-weights", default="")
     p.add_argument("--bbox-dir", default="",
                    help="YOLO label dir (pose-labeling mode)")
+    p.add_argument("--detector", default="",
+                   help="native detector, e.g. 'yolov5n' or 'yolov5s'")
+    p.add_argument("--detector-weights", default="")
+    p.add_argument("--conf-thres", type=float, default=0.25)
+    p.add_argument("--iou-thres", type=float, default=0.45)
     p.add_argument("--save-dir", default="infer_out")
     p.add_argument("--no-save", action="store_true")
     p.add_argument("--show-fps", action="store_true")
@@ -48,10 +53,22 @@ def main():
     pose = UdpPosePipeline(cfg, args.pose_weights or None)
     label_det = (LabelBoxDetector(args.bbox_dir, args.person_class)
                  if args.bbox_dir else None)
+    yolo_det = None
+    if args.detector:
+        from udp_pose_tpu.engine.detector import build_flax_yolo_detector
+        from udp_pose_tpu.utils.checkpoint import load_weights
+        variant = args.detector.replace("yolov5", "")
+        w = load_weights(args.detector_weights) \
+            if args.detector_weights else None
+        yolo_det = build_flax_yolo_detector(
+            variant=variant, weights=w, conf_thres=args.conf_thres,
+            iou_thres=args.iou_thres, person_class=args.person_class)
 
     def boxes_for(frame, path=None):
         if label_det is not None and path is not None:
             return label_det.infer_for(frame, path)
+        if yolo_det is not None:
+            return yolo_det.infer(frame)
         h, w = frame.shape[:2]
         return np.array([[0, 0, w - 1, h - 1]], np.float32)
 

@@ -56,6 +56,33 @@ class YoloDetector:
         return np.asarray(persons, np.float32) if persons else None
 
 
+def build_flax_yolo_detector(variant="n", weights=None, input_size=640,
+                             conf_thres=0.25, iou_thres=0.45,
+                             person_class=0, max_det=300):
+    """Native YOLOv5 (models/yolov5.py) wrapped as a YoloDetector.
+
+    With ``weights=None`` the net is random-initialised (graph-complete;
+    detections are noise until converted weights are loaded).
+    """
+    import jax
+    import jax.numpy as jnp
+    from ..models.yolov5 import YOLOv5
+
+    model = YOLOv5(variant=variant)
+    if weights is None:
+        dummy = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
+        weights = jax.jit(lambda r: model.init(r, dummy, train=False))(
+            jax.random.PRNGKey(0))
+
+    @jax.jit
+    def model_fn(x):
+        return model.apply(weights, x, train=False)
+
+    return YoloDetector(model_fn, input_size, conf_thres, iou_thres,
+                        classes=None, person_class=person_class,
+                        max_det=max_det)
+
+
 class LabelBoxDetector:
     """Boxes from YOLO-format .txt label files next to the images."""
 
