@@ -58,8 +58,13 @@ def main():
         variables = jax.jit(lambda r: model.init(
             r, jnp.zeros((1, h, w, 3)), train=False))(jax.random.PRNGKey(0))
 
+    mesh = None
+    if len(jax.devices()) > 1:
+        from udp_pose_tpu.parallel import make_mesh
+        mesh = make_mesh(cfg.TPU.MESH.DATA, cfg.TPU.MESH.MODEL)
+        logger.info(f"=> sharding eval over mesh {dict(mesh.shape)}")
     name_values, perf = validate(cfg, val_ds, model, variables,
-                                 final_output_dir)
+                                 final_output_dir, mesh=mesh)
     print_name_value(logger, name_values, cfg.MODEL.NAME)
     logger.info(f"=> perf: {perf:.4f}")
 
