@@ -154,3 +154,51 @@ def test_device_prefetch_propagates_errors():
     import pytest
     with pytest.raises(RuntimeError, match="boom"):
         list(device_prefetch(bad_iter(), keys={"image"}))
+
+
+def test_grain_loader_multiworker(tmp_path):
+    import json
+    from udp_pose_tpu.data import build_dataset
+    from udp_pose_tpu.data.grain_loader import grain_loader
+    # synthetic mini-COCO
+    root = tmp_path / "coco"
+    (root / "annotations").mkdir(parents=True)
+    (root / "images" / "val2017").mkdir(parents=True)
+    rng = np.random.default_rng(190)
+    images, annotations = [], []
+    for img_id in range(1, 7):
+        cv2.imwrite(str(root / "images" / "val2017" / ("%012d.jpg" % img_id)),
+                    rng.integers(0, 255, (200, 200, 3), np.uint8))
+        images.append({"id": img_id, "width": 200, "height": 200,
+                       "file_name": "%012d.jpg" % img_id})
+        kps = []
+        for j in range(17):
+            kps += [float(rng.uniform(60, 140)), float(rng.uniform(60, 140)), 2]
+        annotations.append({"id": img_id, "image_id": img_id,
+                            "category_id": 1, "keypoints": kps,
+                            "num_keypoints": 17, "bbox": [50, 50, 100, 100],
+                            "area": 10000.0, "iscrowd": 0})
+    with open(root / "annotations" / "person_keypoints_val2017.json",
+              "w") as f:
+        json.dump({"images": images, "annotations": annotations,
+                   "categories": [{"id": 1, "name": "person"}]}, f)
+
+    cfg = default_config()
+    cfg.DATASET.DATASET = "coco"
+    cfg.DATASET.ROOT = str(root)
+    cfg.DATASET.TEST_SET = "val2017"
+    cfg.MODEL.IMAGE_SIZE = [96, 128]
+    cfg.MODEL.HEATMAP_SIZE = [24, 32]
+    cfg.TEST.USE_GT_BBOX = True
+    ds = build_dataset(cfg, is_train=True, image_set="val2017")
+    loader = grain_loader(ds, batch_size=2, num_workers=2, seed=3)
+    batches = list(loader)
+    # 6 records split across 2 workers (3 each), batch 2 with
+    # drop_remainder → 1 full batch per worker
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["image"].shape == (2, 128, 96, 3)
+    assert b["target"].shape == (2, 17, 32, 24)
+    # determinism under the same seed
+    again = list(grain_loader(ds, batch_size=2, num_workers=2, seed=3))
+    np.testing.assert_array_equal(b["image"], again[0]["image"])
