@@ -96,13 +96,26 @@ def main():
         if begin_epoch:
             logger.info(f"=> resumed at epoch {begin_epoch}")
 
+    def make_epoch_iter(epoch):
+        """WORKERS>0 → grain multiprocess loader; else in-process loader."""
+        if cfg.WORKERS > 0:
+            try:
+                from udp_pose_tpu.data.grain_loader import grain_loader
+                return grain_loader(train_ds, batch_size, seed=epoch,
+                                    shuffle=cfg.TRAIN.SHUFFLE,
+                                    num_workers=cfg.WORKERS)
+            except Exception as e:
+                logger.warning(f"grain loader unavailable ({e}); "
+                               "falling back to in-process loader")
+        train_ds.seed(epoch)
+        return epoch_loader(train_ds, batch_size,
+                            shuffle=cfg.TRAIN.SHUFFLE, seed=epoch)
+
     global_step = 0
     for epoch in range(begin_epoch, cfg.TRAIN.END_EPOCH):
-        train_ds.seed(epoch)
         losses = AverageMeter()
         t_end = time.time()
-        for i, batch in enumerate(epoch_loader(
-                train_ds, batch_size, shuffle=cfg.TRAIN.SHUFFLE, seed=epoch)):
+        for i, batch in enumerate(make_epoch_iter(epoch)):
             if is_rsn:
                 device_batch = shard_batch(mesh, {
                     "image": batch["image"],

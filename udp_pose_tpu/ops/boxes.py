@@ -71,35 +71,3 @@ def xywh_to_cs(x, y, w, h, aspect_ratio, scale_factor=1.25):
     if center[0] != -1:
         scale = scale * scale_factor
     return center, scale
-
-
-def letterbox_params(shape_hw, new_shape_hw, stride=32, scaleup=True):
-    """Compute YOLO letterbox resize ratio + padding (boxes.py:8-23).
-
-    Returns (ratio, (dw, dh), (new_w, new_h)): resize the image to
-    (new_w, new_h) then pad dw/dh on each side (split evenly, reference pads
-    with round(dw-0.1)/round(dw+0.1)).
-    """
-    h, w = shape_hw
-    nh, nw = new_shape_hw
-    r = min(nh / h, nw / w)
-    if not scaleup:
-        r = min(r, 1.0)
-    new_w, new_h = int(round(w * r)), int(round(h * r))
-    dw, dh = (nw - new_w) / 2.0, (nh - new_h) / 2.0
-    return r, (dw, dh), (new_w, new_h)
-
-
-def scale_boxes(boxes, from_shape_hw, to_shape_hw):
-    """Undo letterbox: boxes in padded space → original image space
-    (tools/infer_utils/boxes.py:26-38).  boxes (..., 4) xyxy."""
-    gain = min(from_shape_hw[0] / to_shape_hw[0],
-               from_shape_hw[1] / to_shape_hw[1])
-    pad_x = (from_shape_hw[1] - to_shape_hw[1] * gain) / 2.0
-    pad_y = (from_shape_hw[0] - to_shape_hw[0] * gain) / 2.0
-    out = (boxes - np.array([pad_x, pad_y, pad_x, pad_y],
-                            dtype=np.float32)) / gain
-    w, h = to_shape_hw[1], to_shape_hw[0]
-    out[..., 0::2] = out[..., 0::2].clip(0, w)
-    out[..., 1::2] = out[..., 1::2].clip(0, h)
-    return out
