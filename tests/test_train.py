@@ -110,3 +110,22 @@ def test_infer_fn_flip_test_consistency():
     assert preds.shape == (4, 17, 2)
     assert maxvals.shape == (4, 17, 1)
     assert np.isfinite(np.asarray(preds)).all()
+
+
+def test_multihost_helpers_single_process():
+    from udp_pose_tpu.parallel.multihost import (gather_eval_results,
+                                                 global_batch_from_local,
+                                                 initialize_distributed,
+                                                 process_shard_info)
+    initialize_distributed(num_processes=1)  # no-op path
+    idx, n = process_shard_info()
+    assert idx == 0 and n == 1
+    mesh = make_mesh()
+    rng = np.random.default_rng(7)
+    local = {"image": rng.uniform(size=(8, 4, 4, 3)).astype(np.float32)}
+    out = global_batch_from_local(mesh, local)
+    assert out["image"].shape == (8, 4, 4, 3)
+    np.testing.assert_allclose(np.asarray(out["image"]), local["image"])
+    p, b, paths = gather_eval_results(np.zeros((3, 17, 3)),
+                                      np.zeros((3, 6)), ["a", "b", "c"])
+    assert p.shape == (3, 17, 3) and paths == ["a", "b", "c"]
