@@ -14,8 +14,6 @@ affine (tools/infer_utils/utils.py:157-177) — NOT the UDP training warp.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
 
 import numpy as np
 

@@ -9,7 +9,7 @@ any callable ``(B, H, W, 3) float32 normalised → (B, h, w, J) heatmaps``
 
 from __future__ import annotations
 
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Tuple
 
 import numpy as np
 
