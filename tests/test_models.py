@@ -95,13 +95,9 @@ def test_pose_hrnet_w32_shapes_and_params():
     assert abs(n - 28.7e6) / 28.7e6 < 0.01, n
 
 
-def test_pose_hrnet_psa_builds_and_runs():
-    cfg = _hrnet_cfg(psa=True)
-    model = build_model(cfg)
-    x = jnp.zeros((2, 128, 96, 3))   # small (but /32-divisible) input
-    variables = model.init(jax.random.PRNGKey(0), x, train=False)
-    out = model.apply(variables, x, train=False)
-    assert out.shape == (2, 32, 24, 17)
+# (pose_hrnet_psa construction+forward is covered more strongly by
+# tests/test_torch_convert.py::test_pose_hrnet_parity[True-gaussian],
+# which also checks output parity with converted reference weights.)
 
 
 def test_train_mode_updates_batch_stats():
