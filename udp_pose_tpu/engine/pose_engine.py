@@ -101,7 +101,7 @@ class UdpPosePipeline:
             raise ValueError(f"no .pth converter wired for {name}")
         return v
 
-    def _build_infer(self, n_boxes):
+    def _build_infer(self):
         import jax
         import jax.numpy as jnp
         from ..core.train import normalize_images
@@ -152,7 +152,7 @@ class UdpPosePipeline:
         center, scale = xyxy_to_cs(boxes[:, :4], self.input_wh)
         bucket = _next_bucket(n)
         if bucket not in self._infer_cache:
-            self._infer_cache[bucket] = self._build_infer(bucket)
+            self._infer_cache[bucket] = self._build_infer()
         pad = bucket - n
         center_p = np.concatenate([center, np.tile(center[:1], (pad, 1))])
         scale_p = np.concatenate([scale, np.tile(scale[:1], (pad, 1))])

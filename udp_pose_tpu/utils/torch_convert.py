@@ -344,6 +344,61 @@ def convert_shufflenetv2(sd: Dict[str, np.ndarray], prefix="",
     return cv.variables(), unused
 
 
+# ultralytics yolov5 v6.0 module indices → our layer names
+_YOLO_LAYERS = [
+    ("0", "b0", "conv"), ("1", "b1", "conv"), ("2", "b2", "c3"),
+    ("3", "b3", "conv"), ("4", "b4", "c3"), ("5", "b5", "conv"),
+    ("6", "b6", "c3"), ("7", "b7", "conv"), ("8", "b8", "c3"),
+    ("9", "b9", "sppf"), ("10", "h10", "conv"), ("13", "h13", "c3"),
+    ("14", "h14", "conv"), ("17", "h17", "c3"), ("18", "h18", "conv"),
+    ("20", "h20", "c3"), ("21", "h21", "conv"), ("23", "h23", "c3"),
+]
+
+
+def convert_yolov5(sd: Dict[str, np.ndarray], variant: str = "n"):
+    """ultralytics yolov5 (v6.0) state_dict → flax variables for
+    models/yolov5.YOLOv5.
+
+    Accepts keys with or without the ``model.`` prefix (``attempt_load``
+    checkpoints nest under ``model.model.{i}``).  Detect head biases/weights
+    map to ``detect{0,1,2}``.  Returns (variables, unused_keys).
+    """
+    # normalise prefix: strip leading "model." once or twice
+    def norm(k):
+        while k.startswith("model."):
+            k = k[len("model."):]
+        return k
+    sd = {norm(k): v for k, v in sd.items()}
+    cv = Converter(sd)
+
+    def conv_unit(tp, *path):
+        cv.conv(f"{tp}.conv", *path, "conv")
+        cv.bn(f"{tp}.bn", *path, "bn")
+
+    def c3_unit(tp, *path):
+        for cvname in ("cv1", "cv2", "cv3"):
+            conv_unit(f"{tp}.{cvname}", *path, cvname)
+        j = 0
+        while f"{tp}.m.{j}.cv1.conv.weight" in sd:
+            conv_unit(f"{tp}.m.{j}.cv1", *path, f"m{j}", "cv1")
+            conv_unit(f"{tp}.m.{j}.cv2", *path, f"m{j}", "cv2")
+            j += 1
+
+    for idx, name, kind in _YOLO_LAYERS:
+        tp = idx
+        if kind == "conv":
+            conv_unit(tp, name)
+        elif kind == "c3":
+            c3_unit(tp, name)
+        elif kind == "sppf":
+            conv_unit(f"{tp}.cv1", name, "cv1")
+            conv_unit(f"{tp}.cv2", name, "cv2")
+    for li in range(3):
+        cv.conv(f"24.m.{li}", f"detect{li}")
+    unused = [k for k in cv.unused() if "anchor" not in k]
+    return cv.variables(), unused
+
+
 def check_against_model(variables, model, input_shape):
     """Shape-check converted variables against a fresh init; raises on
     mismatch, returns the converted tree with init's missing leaves."""
