@@ -1,0 +1,139 @@
+"""Generalization proof: train WITH aug on synthetic train split, eval on
+UNSEEN val images — validates augmentation geometry end-to-end.
+
+Synthetic images carry 17 distinctly-coloured joint dots, so a correctly-
+geometric pipeline generalizes; any warp/joint-mapping inconsistency under
+scale/rotation augmentation craters val AP instead.
+
+Measured on v5e-1: pool of 48 augmented batches (13 s host), 5000 steps
+(32 s), unseen-val AP 0.871 / AP.5 1.000 / AR 0.894.
+
+Usage: python tools/generalization_proof.py [--root /tmp/gencoco]
+       [--steps 5000] [--gen-data]  (--gen-data writes the synthetic set)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def generate(root):
+    import cv2
+    rng = np.random.default_rng(42)
+    colors = [(int(c[0]), int(c[1]), int(c[2]))
+              for c in rng.integers(40, 255, (17, 3))]
+    os.makedirs(f"{root}/annotations", exist_ok=True)
+    for split, ids in (("train2017", range(1, 65)),
+                       ("val2017", range(1001, 1017))):
+        os.makedirs(f"{root}/images/{split}", exist_ok=True)
+        images, annotations = [], []
+        for aid, img_id in enumerate(ids, 1):
+            W = H = 320
+            img = rng.integers(0, 60, (H, W, 3), np.uint8)
+            cx, cy = rng.uniform(110, 210, 2)
+            w, h = rng.uniform(80, 120), rng.uniform(120, 170)
+            kps = []
+            for j in range(17):
+                x = float(np.clip(cx + rng.uniform(-w / 2.5, w / 2.5), 5, W - 5))
+                y = float(np.clip(cy + rng.uniform(-h / 2.5, h / 2.5), 5, H - 5))
+                cv2.circle(img, (int(x), int(y)), 5, colors[j], -1)
+                kps += [x, y, 2]
+            cv2.imwrite(f"{root}/images/{split}/%012d.jpg" % img_id, img)
+            images.append({"id": img_id, "width": W, "height": H,
+                           "file_name": "%012d.jpg" % img_id})
+            annotations.append({
+                "id": aid, "image_id": img_id, "category_id": 1,
+                "keypoints": kps, "num_keypoints": 17,
+                "bbox": [cx - w / 2, cy - h / 2, w, h],
+                "area": float(w * h), "iscrowd": 0})
+        with open(f"{root}/annotations/person_keypoints_{split}.json",
+                  "w") as f:
+            json.dump({"images": images, "annotations": annotations,
+                       "categories": [{"id": 1, "name": "person"}]}, f)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--root", default="/tmp/gencoco")
+    p.add_argument("--steps", type=int, default=5000)
+    p.add_argument("--pool-epochs", type=int, default=24)
+    p.add_argument("--gen-data", action="store_true")
+    args = p.parse_args()
+    if args.gen_data or not os.path.isdir(args.root):
+        generate(args.root)
+
+    from udp_pose_tpu.utils.platform import maybe_force_platform
+    maybe_force_platform()
+    import jax
+    import jax.numpy as jnp
+    from udp_pose_tpu.config import default_config
+    from udp_pose_tpu.core.loss import make_loss_fn
+    from udp_pose_tpu.core.train import (create_train_state, make_train_step,
+                                         normalize_images)
+    from udp_pose_tpu.core.validate import validate
+    from udp_pose_tpu.data import build_dataset
+    from udp_pose_tpu.data.base import epoch_loader
+    from udp_pose_tpu.models import build_model
+
+    cfg = default_config()
+    cfg.DATASET.DATASET = "coco"
+    cfg.DATASET.ROOT = args.root
+    cfg.DATASET.TRAIN_SET = "train2017"
+    cfg.DATASET.TEST_SET = "val2017"
+    cfg.DATASET.FLIP = False            # coloured dots aren't L/R symmetric
+    cfg.DATASET.SCALE_FACTOR = 0.25
+    cfg.DATASET.ROT_FACTOR = 30
+    cfg.MODEL.NAME = "pose_resnet"
+    cfg.MODEL.TARGET_TYPE = "gaussian"
+    cfg.MODEL.IMAGE_SIZE = [192, 256]
+    cfg.MODEL.HEATMAP_SIZE = [48, 64]
+    cfg.MODEL.EXTRA.merge_from_dict({
+        "NUM_LAYERS": 18, "NUM_DECONV_LAYERS": 3,
+        "NUM_DECONV_FILTERS": [256, 256, 256],
+        "NUM_DECONV_KERNELS": [4, 4, 4],
+        "DECONV_WITH_BIAS": False, "FINAL_CONV_KERNEL": 1})
+    cfg.TEST.USE_GT_BBOX = True
+    cfg.TEST.FLIP_TEST = False
+    cfg.TEST.POST_PROCESS = True
+    cfg.TEST.BATCH_SIZE_PER_GPU = 16
+    cfg.TPU.DTYPE = "float32"
+
+    model = build_model(cfg)
+    train_ds = build_dataset(cfg, is_train=True)
+    pool = []
+    t0 = time.time()
+    for ep in range(args.pool_epochs):
+        train_ds.seed(ep)
+        for batch in epoch_loader(train_ds, 32, shuffle=True, seed=ep):
+            pool.append({
+                "image": jnp.asarray(normalize_images(
+                    jax.device_put(batch["image"]))),
+                "target": jax.device_put(batch["target"]),
+                "target_weight": jax.device_put(batch["target_weight"])})
+    print(f"pool of {len(pool)} augmented batches in {time.time() - t0:.0f}s")
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), 10 ** 6)
+    step = make_train_step(make_loss_fn(cfg))
+    t0 = time.time()
+    for i in range(args.steps):
+        state, m = step(state, pool[i % len(pool)])
+    print(f"{args.steps} steps in {time.time() - t0:.0f}s, "
+          f"loss {float(m['loss']):.6f}")
+    val = build_dataset(cfg, is_train=False)
+    nv, ap = validate(cfg, val, model,
+                      {"params": state.params,
+                       "batch_stats": state.batch_stats}, "/tmp/gen_out")
+    print({k: round(float(v), 3) for k, v in nv.items()})
+    assert nv["Ap .5"] > 0.9, nv
+    print(f"GENERALIZATION PROOF PASSED: AP={ap:.3f} AP.5={nv['Ap .5']:.3f}")
+
+
+if __name__ == "__main__":
+    main()
