@@ -1,0 +1,175 @@
+"""Weight-converter output-parity for the mobile/ViT zoo (VERDICT r1 #5).
+
+* MobileViT / MobileViTv2: the torch oracle is the ACTUAL reference
+  backbone (backbones/mobilevit.py:931, mobilevitv2.py:1456), random-init,
+  converted with utils/torch_convert and required to match our Flax
+  forward — same protocol as the hrnet/resnet parity tests.
+* MobileNetV3-Small: torchvision is not installed, so the oracle is a
+  test-local torch module replicating torchvision's mobilenet_v3_small
+  module layout exactly (Conv2dNormActivation indices, SqueezeExcitation
+  fc1/fc2, eps=1e-3 BN) — the layout the reference consumes at
+  backbones/mobilenetv3.py:5-16.
+"""
+
+import importlib
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+
+REF_MODELS = "/root/reference/deep_hrnet/lib/models"
+
+
+def _ref_module(name):
+    if "refmodels" not in sys.modules:
+        pkg = types.ModuleType("refmodels")
+        pkg.__path__ = [REF_MODELS]
+        sys.modules["refmodels"] = pkg
+    return importlib.import_module(f"refmodels.{name}")
+
+
+def _randomize(model, seed=0):
+    g = torch.Generator().manual_seed(seed)
+    sd = model.state_dict()
+    for k, v in sd.items():
+        if v.dtype.is_floating_point:
+            if "running_var" in k:
+                sd[k] = torch.rand(v.shape, generator=g) + 0.5
+            elif "running_mean" in k:
+                sd[k] = torch.randn(v.shape, generator=g) * 0.1
+            else:
+                sd[k] = torch.randn(v.shape, generator=g) * 0.05
+    model.load_state_dict(sd)
+    return model
+
+
+def _compare_backbone(tmodel, fmodel, variables, hw=(128, 96), atol=6e-4):
+    tmodel.eval()
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(2, 3, hw[0], hw[1])).astype(np.float32)
+    with torch.no_grad():
+        yt = tmodel(torch.tensor(x)).numpy()
+    yf = np.asarray(fmodel.apply(variables, x.transpose(0, 2, 3, 1),
+                                 train=False)).transpose(0, 3, 1, 2)
+    assert yt.shape == yf.shape, (yt.shape, yf.shape)
+    np.testing.assert_allclose(yf, yt, rtol=1e-3, atol=atol)
+
+
+@pytest.mark.parametrize("yaml_name,mode", [
+    ("mobilevit_xxs", "xx_small"),
+    ("mobilevit_s", "small"),
+])
+def test_mobilevit_convert_parity(yaml_name, mode):
+    from udp_pose_tpu.models.mobilevit import MobileViT
+    from udp_pose_tpu.utils.torch_convert import (check_against_model,
+                                                  convert_mobilevit)
+    ref = _ref_module("backbones.mobilevit")
+    tmodel = _randomize(ref.get_mobilevit(
+        f"{REF_MODELS}/backbones/configs/{yaml_name}.yaml"))
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    variables, unused = convert_mobilevit(sd, mode=mode)
+    assert not unused, unused[:8]
+    fmodel = MobileViT(mode=mode)
+    variables = check_against_model(variables, fmodel, (1, 128, 96, 3))
+    _compare_backbone(tmodel, fmodel, variables)
+
+
+def test_mobilevitv2_convert_parity():
+    from udp_pose_tpu.models.mobilevit import MobileViTv2
+    from udp_pose_tpu.utils.torch_convert import (check_against_model,
+                                                  convert_mobilevitv2)
+    ref = _ref_module("backbones.mobilevitv2")
+    tmodel = _randomize(ref.get_mobilevit_v2(
+        f"{REF_MODELS}/backbones/configs/mobilevitv2-0.5.yaml"))
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    variables, unused = convert_mobilevitv2(sd)
+    assert not unused, unused[:8]
+    fmodel = MobileViTv2(width=0.5)
+    variables = check_against_model(variables, fmodel, (1, 128, 96, 3))
+    _compare_backbone(tmodel, fmodel, variables)
+
+
+# ---------------------------------------------------------------------------
+# torchvision-layout mobilenet_v3_small oracle (test-local)
+# ---------------------------------------------------------------------------
+
+def _tv_make_divisible(v, divisor=8):
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+class _TVSqueezeExcitation(tnn.Module):
+    def __init__(self, c, squeeze):
+        super().__init__()
+        self.avgpool = tnn.AdaptiveAvgPool2d(1)
+        self.fc1 = tnn.Conv2d(c, squeeze, 1)
+        self.activation = tnn.ReLU()
+        self.fc2 = tnn.Conv2d(squeeze, c, 1)
+        self.scale_activation = tnn.Hardsigmoid()
+
+    def forward(self, x):
+        s = self.scale_activation(
+            self.fc2(self.activation(self.fc1(self.avgpool(x)))))
+        return s * x
+
+
+def _tv_cna(cin, cout, k, s, groups=1, act="hs"):
+    layers = [tnn.Conv2d(cin, cout, k, s, (k - 1) // 2, groups=groups,
+                         bias=False),
+              tnn.BatchNorm2d(cout, eps=0.001, momentum=0.01)]
+    if act == "hs":
+        layers.append(tnn.Hardswish(inplace=True))
+    elif act == "relu":
+        layers.append(tnn.ReLU(inplace=True))
+    return tnn.Sequential(*layers)
+
+
+class _TVInvertedResidual(tnn.Module):
+    def __init__(self, cin, exp, cout, k, s, se, act):
+        super().__init__()
+        layers = []
+        if exp != cin:
+            layers.append(_tv_cna(cin, exp, 1, 1, act=act))
+        layers.append(_tv_cna(exp, exp, k, s, groups=exp, act=act))
+        if se:
+            layers.append(_TVSqueezeExcitation(
+                exp, _tv_make_divisible(exp // 4)))
+        layers.append(_tv_cna(exp, cout, 1, 1, act="none"))
+        self.block = tnn.Sequential(*layers)
+        self.use_res = s == 1 and cin == cout
+
+    def forward(self, x):
+        y = self.block(x)
+        return x + y if self.use_res else y
+
+
+def _tv_mobilenet_v3_small():
+    from udp_pose_tpu.models.mobile import MOBILENETV3_SMALL_SPEC
+    feats = [_tv_cna(3, 16, 3, 2, act="hs")]
+    cin = 16
+    for exp, out, k, s, se, act in MOBILENETV3_SMALL_SPEC:
+        feats.append(_TVInvertedResidual(cin, exp, out, k, s, se, act))
+        cin = out
+    feats.append(_tv_cna(cin, 576, 1, 1, act="hs"))
+    features = tnn.Sequential(*feats)
+    return tnn.Sequential(features)   # backbones/mobilenetv3.py Sequential
+
+
+def test_mobilenetv3_convert_parity():
+    from udp_pose_tpu.models.mobile import MobileNetV3Small
+    from udp_pose_tpu.utils.torch_convert import (check_against_model,
+                                                  convert_mobilenetv3_small)
+    tmodel = _randomize(_tv_mobilenet_v3_small())
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    # keys carry the Sequential(features) '0.' wrapper prefix
+    variables, unused = convert_mobilenetv3_small(sd, prefix="0.")
+    assert not unused, unused[:8]
+    fmodel = MobileNetV3Small()
+    variables = check_against_model(variables, fmodel, (1, 128, 96, 3))
+    _compare_backbone(tmodel, fmodel, variables)

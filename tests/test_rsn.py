@@ -156,8 +156,8 @@ def test_rsn_torch_output_parity():
     from udp_pose_tpu.utils.torch_convert import (check_against_model,
                                                   convert_rsn)
 
-    if RSN_ROOT not in sys.path:
-        sys.path.insert(0, RSN_ROOT)
+    from ref_harness import claim_rsn_namespace
+    claim_rsn_namespace()  # the deep_hrnet tree defines clashing pkg names
     spec = importlib.util.spec_from_file_location(
         "ref_rsn_network", os.path.join(RSN_ROOT, "exps/RSN18.coco/network.py"))
     mod = importlib.util.module_from_spec(spec)

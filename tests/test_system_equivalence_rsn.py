@@ -1,0 +1,182 @@
+"""Composed RSN system equivalence: reference eval pipeline vs ours.
+
+The reference side (dataset crop → RSN network → flip test → `get_results`
+decode → det×kpt rescoring, RSN/exps/RSN18.coco/test.py:25-116) runs in a
+subprocess via tests/rsn_ref_runner.py (its top-level package names clash
+with deep_hrnet's); our side runs `udp_pose_tpu.core.validate` over
+`RSNCOCODataset` with the same converted weights on the same synthetic
+minival-2014 tree.  The two results lists must match keypoint-for-keypoint.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from ref_harness import make_mini_coco_rsn, reference_present
+
+pytestmark = pytest.mark.skipif(not reference_present(),
+                                reason="reference checkout not present")
+
+RUNNER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "rsn_ref_runner.py")
+
+
+def test_rsn_system_equivalence(tmp_path):
+    root = str(tmp_path / "data")
+    make_mini_coco_rsn(root, n_images=6, seed=11)
+    weights = str(tmp_path / "rsn.pth")
+    ref_results_file = str(tmp_path / "ref_results.json")
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    dump_file = str(tmp_path / "ref_arrays.npz")
+    proc = subprocess.run(
+        [sys.executable, RUNNER, "--root", root, "--weights", weights,
+         "--results", ref_results_file, "--seed", "0", "--stage-num", "2",
+         "--height", "128", "--width", "96", "--dump", dump_file],
+        env=env, capture_output=True, text=True, timeout=560)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    with open(ref_results_file) as f:
+        ref_results = json.load(f)
+    assert len(ref_results) > 0
+
+    # -- our side on the converted weights ---------------------------------
+    from udp_pose_tpu.config import default_config
+    from udp_pose_tpu.core.validate import validate
+    from udp_pose_tpu.data.rsn import RSNCOCODataset
+    from udp_pose_tpu.models import build_model
+    from udp_pose_tpu.utils.torch_convert import (check_against_model,
+                                                  convert_rsn)
+
+    cfg = default_config()
+    cfg.MODEL.NAME = "rsn"
+    cfg.MODEL.IMAGE_SIZE = [96, 128]
+    cfg.MODEL.HEATMAP_SIZE = [24, 32]
+    cfg.MODEL.EXTRA.STAGE_NUM = 2
+    cfg.MODEL.EXTRA.UPSAMPLE_CHANNEL_NUM = 256
+    cfg.MODEL.EXTRA.USE_PRM = False
+    cfg.MODEL.INIT_WEIGHTS = False
+    cfg.TPU.DTYPE = "float32"
+    cfg.DATASET.COLOR_RGB = False      # RSN reads BGR (attribute.py)
+    cfg.DATASET.DATASET = "coco"
+    cfg.TEST.FLIP_TEST = True
+    cfg.TEST.USE_GT_BBOX = False
+    cfg.TEST.COCO_BBOX_FILE = os.path.join(root, "det_json",
+                                           "minival_2014_det.json")
+    cfg.TEST.BATCH_SIZE_PER_GPU = 4
+
+    sd = {k: v.numpy() for k, v in torch.load(weights).items()}
+    variables, unused = convert_rsn(sd, stage_num=2)
+    assert not unused, unused[:8]
+    fmodel = build_model(cfg)
+    variables = check_against_model(variables, fmodel, (1, 128, 96, 3))
+
+    ds = RSNCOCODataset(cfg, root, "val2014", is_train=False)
+    assert len(ds) == len(ref_results)
+
+    out_dir = str(tmp_path / "ours")
+    validate(cfg, ds, fmodel, variables, output_dir=out_dir)
+    with open(os.path.join(out_dir, "results",
+                           "keypoints_val2014_results_0.json")) as f:
+        our_results = json.load(f)
+
+    assert len(our_results) == len(ref_results)
+    # Random-init RSN maps carry large same-value plateaus (upsample-module
+    # artifacts): cells mathematically equal to ≲1e-9 relative.  The
+    # reference blurs in float64 and resolves those "ties"; our float32
+    # graph cannot.  So: a joint's peak is *decisive* when the blurred
+    # map's top-2 distinct values differ by more than float32 resolution —
+    # decode must then agree to a couple of source pixels (the remaining
+    # wiggle is second-peak quarter-shift ambiguity); indecisive joints are
+    # exempt.  Confidences must agree everywhere regardless.
+    dump = np.load(dump_file)
+    from udp_pose_tpu.ops.blur import gaussian_blur
+    import jax.numpy as jnp
+    padded = jnp.pad(jnp.asarray(dump["heatmaps"], jnp.float32),
+                     ((0, 0), (0, 0), (10, 10), (10, 10)))
+    blurred = np.asarray(gaussian_blur(padded, 5))
+    flat = blurred.reshape(blurred.shape[0], blurred.shape[1], -1)
+    top2 = np.sort(flat, axis=2)[:, :, -2:]
+    gap = (top2[:, :, 1] - top2[:, :, 0]) / \
+        np.maximum(np.abs(top2[:, :, 1]), 1e-12)
+    decisive = gap > 1e-5                                 # (N, J)
+
+    key = lambda r: (r["image_id"], -r["score"])  # noqa: E731
+    err, scores_ok = [], []
+    for rr, ro in zip(sorted(ref_results, key=key),
+                      sorted(our_results, key=key)):
+        assert rr["image_id"] == ro["image_id"]
+        np.testing.assert_allclose(ro["score"], rr["score"],
+                                   rtol=1e-4, atol=1e-5)
+        kr = np.asarray(rr["keypoints"]).reshape(-1, 3)
+        ko = np.asarray(ro["keypoints"]).reshape(-1, 3)
+        np.testing.assert_allclose(ko[:, 2], kr[:, 2], atol=1e-3)
+        err.append(np.abs(ko[:, :2] - kr[:, :2]).max(axis=1))
+    err = np.stack(err)                                   # (N, J)
+    # db order == dump order == sorted-results order only if scores are
+    # unique per image; just align by re-deriving per-row order instead:
+    # the dump rows ARE db order, and our/ref results were both built in
+    # db order, so compare unsorted too.
+    err_db = np.stack([
+        np.abs(np.asarray(ro["keypoints"]).reshape(-1, 3)[:, :2] -
+               np.asarray(rr["keypoints"]).reshape(-1, 3)[:, :2]).max(axis=1)
+        for rr, ro in zip(ref_results, our_results)])
+    assert decisive.mean() > 0.15, decisive.mean()
+    assert err_db[decisive].max() < 3.0, err_db[decisive].max()
+    assert np.median(err_db[decisive]) < 0.05
+    # heatmap equality (checked indirectly above) is the strong claim: the
+    # full dataset→model→flip glue matched; strict decode coverage on
+    # peaked maps lives in test_rsn_decode_vs_reference below.
+
+
+@pytest.mark.parametrize("kernel,shifts", [(5, "0.25"), (5, "0.25,0.125")])
+def test_rsn_decode_vs_reference(tmp_path, kernel, shifts):
+    """The ACTUAL reference ``get_results`` (RSN/exps/RSN18.coco/test.py:
+    25-71) vs our jit ``rsn_decode`` on peaked 255-scale pyramids — strict,
+    every joint decisive.  shifts=(0.25, 0.125) is the PRM-variant loop."""
+    rng = np.random.default_rng(3)
+    N, J, H, W = 6, 17, 32, 24
+    yy, xx = np.mgrid[0:H, 0:W]
+    outputs = np.zeros((N, J, H, W), np.float32)
+    for i in range(N):
+        for j in range(J):
+            cx = rng.uniform(1, W - 2)
+            cy = rng.uniform(1, H - 2)
+            outputs[i, j] = 255.0 * np.exp(
+                -((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * 2.5 ** 2))
+            # a decisive second mode for the quarter-shift path
+            cx2 = rng.uniform(1, W - 2)
+            cy2 = rng.uniform(1, H - 2)
+            outputs[i, j] += 120.0 * np.exp(
+                -((xx - cx2) ** 2 + (yy - cy2) ** 2) / (2 * 2.0 ** 2))
+            outputs[i, j] += rng.normal(0, 0.5, (H, W))
+    centers = rng.uniform(50, 200, (N, 2)).astype(np.float32)
+    scales = rng.uniform(0.3, 1.5, (N, 2)).astype(np.float32)
+
+    in_npz = str(tmp_path / "maps.npz")
+    out_npz = str(tmp_path / "decoded.npz")
+    np.savez(in_npz, outputs=outputs, centers=centers, scales=scales)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, RUNNER, "--root", "unused", "--weights", "unused",
+         "--results", out_npz, "--decode-npz", in_npz,
+         "--height", "128", "--width", "96",
+         "--kernel", str(kernel), "--shifts", shifts],
+        env=env, capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    ref = np.load(out_npz)
+
+    from udp_pose_tpu.ops.rsn_decode import rsn_decode
+    preds, maxvals = rsn_decode(
+        outputs, centers, scales, kernel=kernel,
+        shifts=tuple(float(s) for s in shifts.split(",")),
+        input_size_hw=(128, 96))
+    np.testing.assert_allclose(np.asarray(preds), ref["preds"],
+                               rtol=1e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(maxvals), ref["maxvals"],
+                               rtol=1e-4, atol=1e-4)

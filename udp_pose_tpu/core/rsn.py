@@ -18,7 +18,14 @@ import optax
 from ..ops.flip import flip_back
 from ..ops.rsn_decode import rsn_decode
 from .loss import rsn_multi_stage_loss
-from .train import TrainState, normalize_images
+from .train import (RSN_BGR_MEAN, RSN_BGR_STD, TrainState,
+                    normalize_images)
+
+
+def _rsn_normalize(images):
+    """RSN reads BGR (attribute.py COLOR_RGB=False) and normalises with the
+    BGR-ordered INPUT.MEANS/STDS (RSN config.py:37-39)."""
+    return normalize_images(images, RSN_BGR_MEAN, RSN_BGR_STD)
 
 
 def warmup_linear_decay(base_lr, warmup_iters, max_iters,
@@ -50,7 +57,7 @@ def make_rsn_train_step(stage_num: int, ohkm=True, topk=8,
         def loss_of(params):
             out, mut = state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
-                normalize_images(batch["image"]), train=True,
+                _rsn_normalize(batch["image"]), train=True,
                 mutable=["batch_stats"])
             # NHWC stage outputs → NCHW for the loss
             outputs = [[o.transpose(0, 3, 1, 2).astype(jnp.float32)
@@ -80,7 +87,7 @@ def make_rsn_infer_fn(model, *, flip_test=True, flip_pairs,
 
     @jax.jit
     def infer(variables, images, center, scale):
-        x = normalize_images(images)
+        x = _rsn_normalize(images)
         B = x.shape[0]
         if flip_test:
             x = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0)

@@ -60,12 +60,22 @@ def make_optimizer(cfg, steps_per_epoch: int) -> optax.GradientTransformation:
     return optax.adam(sched)
 
 
-def normalize_images(images_uint8_or_float):
-    """uint8/float [0,255] NHWC RGB → torchvision-normalised float32."""
+# RSN normalises BGR-loaded images with BGR-ordered constants
+# (RSN/exps/RSN18.coco/config.py INPUT.MEANS/STDS "# bgr")
+RSN_BGR_MEAN = (0.406, 0.456, 0.485)
+RSN_BGR_STD = (0.225, 0.224, 0.229)
+
+
+def normalize_images(images_uint8_or_float, mean=IMAGENET_MEAN,
+                     std=IMAGENET_STD):
+    """uint8/float [0,255] NHWC → normalised float32.
+
+    The constants are applied to whatever channel order the loader
+    produced, exactly like the reference's fixed-constant Normalize
+    transforms; RSN passes the BGR-ordered RSN_BGR_MEAN/STD."""
     x = images_uint8_or_float.astype(jnp.float32) / 255.0
-    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
-    std = jnp.asarray(IMAGENET_STD, jnp.float32)
-    return (x - mean) / std
+    return (x - jnp.asarray(mean, jnp.float32)) / \
+        jnp.asarray(std, jnp.float32)
 
 
 def create_train_state(cfg, model, rng, steps_per_epoch: int) -> TrainState:

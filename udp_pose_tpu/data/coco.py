@@ -66,9 +66,11 @@ class COCODataset(JointsDataset):
         for cat in data.get("categories", []):
             if cat["name"] == "person":
                 self._person_cat_id = cat["id"]
+        self._ann_list = []
         for ann in data.get("annotations", []):
             if ann.get("category_id") == self._person_cat_id:
                 self._anns_by_image[ann["image_id"]].append(ann)
+                self._ann_list.append(ann)  # global ann-file order (RSN db)
 
     def image_path(self, image_id):
         """Parity: image_path_from_index (coco.py:231-244)."""

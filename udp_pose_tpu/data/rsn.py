@@ -49,10 +49,105 @@ class RSNCOCODataset(COCODataset):
     plus center/scale/score/image_path meta (RSN JointsDataset.py:222-224).
     """
 
+    kp_load_min_num = 1  # RSN/dataset/attribute.py KEYPOINT.LOAD_MIN_NUM
+
     def __init__(self, cfg, root, image_set, is_train):
         super().__init__(cfg, root, image_set, is_train)
         self.attr = dict(RSN_COCO)
         self.w_h_ratio = self.aspect_ratio
+
+    # -- db: RSN semantics, NOT deep_hrnet's --------------------------------
+
+    def _xywh2cs(self, x, y, w, h):
+        """RSN _bbox_to_center_and_scale (RSN/dataset/COCO/coco.py:128-138):
+        raw box → center/scale — no aspect-ratio fit, no ×1.25 inflation
+        (the aspect fit + test extension happen inside __getitem__)."""
+        center = np.array([x + w / 2.0, y + h / 2.0], np.float32)
+        scale = np.array([w / self.pixel_std, h / self.pixel_std], np.float32)
+        return center, scale
+
+    def _load_gt_db(self):
+        """RSN gt loading (RSN/dataset/COCO/coco.py:53-90): global ann-file
+        order, crowd filter, visible-count/num_keypoints filters, RAW vis
+        flags kept (they gate the loss at >1/>0 thresholds,
+        RSN/lib/utils/loss.py:30,37) — no bbox sanitising."""
+        db = []
+        for obj in self._ann_list:
+            image_id = obj["image_id"]
+            if image_id not in self._images or obj.get("iscrowd"):
+                continue
+            joints = np.asarray(obj["keypoints"], np.float64).reshape(-1, 3)
+            if (joints[:, 2] > 0).sum() < self.kp_load_min_num or \
+                    obj.get("num_keypoints", 0) == 0:
+                continue
+            center, scale = self._xywh2cs(*np.asarray(obj["bbox"],
+                                                      np.float64)[:4])
+            vis = np.zeros((self.num_joints, 3))
+            vis[:, 0] = joints[:, 2]
+            vis[:, 1] = joints[:, 2]
+            db.append({
+                "image": self.image_path(image_id), "image_id": image_id,
+                "center": center, "scale": scale,
+                "joints_3d": joints, "joints_3d_vis": vis,
+            })
+        return db
+
+    def _load_detection_db(self):
+        """RSN det loading (RSN/dataset/COCO/coco.py:92-125): every person
+        det whose image exists is kept — no score threshold."""
+        import json
+        with open(self.bbox_file) as f:
+            dets = json.load(f)
+        db = []
+        for det in dets:
+            if det.get("category_id") != 1 or \
+                    det["image_id"] not in self._images:
+                continue
+            center, scale = self._xywh2cs(*np.asarray(det["bbox"],
+                                                      np.float64)[:4])
+            db.append({
+                "image": self.image_path(det["image_id"]),
+                "image_id": det["image_id"],
+                "center": center, "scale": scale,
+                "score": det["score"],
+                "joints_3d": np.zeros((self.num_joints, 3)),
+                "joints_3d_vis": np.zeros((self.num_joints, 3)),
+            })
+        return db
+
+    # -- evaluation: RSN protocol -------------------------------------------
+
+    def evaluate(self, cfg, preds, output_dir, all_boxes, img_path,
+                 *args, **kwargs):
+        """RSN results protocol (RSN/exps/RSN18.coco/test.py:98-116,186-195):
+        score = det_score × mean of ALL keypoint maxvals (no visibility
+        threshold), and NO OKS-NMS — every detection keeps one result."""
+        import json
+        import os
+        from ..eval.cocoeval import COCOKeypointEval
+        results = []
+        for i, kpt in enumerate(preds):
+            kpt = np.asarray(kpt)
+            image_id = int(os.path.basename(str(img_path[i]))[-16:-4])
+            results.append({
+                "image_id": image_id,
+                "category_id": self._person_cat_id,
+                "keypoints": kpt.ravel().tolist(),
+                "score": float(all_boxes[i][5]) * float(kpt[:, 2].mean()),
+            })
+        if output_dir:
+            res_dir = os.path.join(output_dir, "results")
+            os.makedirs(res_dir, exist_ok=True)
+            with open(os.path.join(
+                    res_dir,
+                    f"keypoints_{self.image_set}_results_0.json"), "w") as f:
+                json.dump(results, f, sort_keys=True, indent=4)
+        if "test" in self.image_set:
+            return {"Null": 0}, 0
+        gt_anns = [a for anns in self._anns_by_image.values() for a in anns]
+        name_values = COCOKeypointEval(gt_anns,
+                                       self.image_ids).evaluate(results)
+        return name_values, name_values["AP"]
 
     def half_body_transform_rsn(self, joints, joints_vis, rng):
         """RSN variant (JointsDataset.py:232-274): midpoint centre, random

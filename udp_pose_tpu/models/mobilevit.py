@@ -115,13 +115,13 @@ class TransformerEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln1")(x)
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, qkv_features=self.dim,
             out_features=self.dim, use_bias=True, dtype=self.dtype,
             name="attn")(h, h)
         x = x + h
-        h = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln2")(x)
         h = nn.Dense(self.ffn_dim, dtype=self.dtype, name="fc1")(h)
         h = swish(h)
         h = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h)
@@ -143,7 +143,7 @@ class MobileViTBlock(nn.Module):
         in_ch = x.shape[-1]
         fm = ConvNormAct(in_ch, 3, dtype=self.dtype,
                          name="local_3x3")(x, train)
-        fm = nn.Conv(self.dim, (1, 1), use_bias=True, dtype=self.dtype,
+        fm = nn.Conv(self.dim, (1, 1), use_bias=False, dtype=self.dtype,
                      name="local_1x1")(fm)
         ph, pw = self.patch
         H, W = fm.shape[1], fm.shape[2]
@@ -153,7 +153,7 @@ class MobileViTBlock(nn.Module):
         for i in range(self.n_blocks):
             p = TransformerEncoder(self.dim, self.ffn_dim, self.num_heads,
                                    dtype=self.dtype, name=f"tr{i}")(p)
-        p = nn.LayerNorm(dtype=self.dtype, name="ln_out")(p)
+        p = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_out")(p)
         fm = fold_patches(p.reshape(B, P, N, d), (H, W), ph, pw)
         fm = ConvNormAct(in_ch, 1, dtype=self.dtype,
                          name="conv_proj")(fm, train)
@@ -269,9 +269,37 @@ class LinearAttnFFN(nn.Module):
         return x + h
 
 
+def _resize_align_corners(x, size):
+    """NHWC bilinear resize with torch align_corners=True semantics
+    (separable interpolation matrices — rides the MXU)."""
+    B, H, W, C = x.shape
+    nh, nw = size
+
+    def mat(n_in, n_out):
+        if n_out == 1 or n_in == 1:
+            return jnp.full((n_out, n_in), 1.0 / n_in)
+        pos = jnp.arange(n_out) * (n_in - 1) / (n_out - 1)
+        lo = jnp.floor(pos).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, n_in - 1)
+        w = (pos - lo).astype(jnp.float32)
+        m = jnp.zeros((n_out, n_in), jnp.float32)
+        m = m.at[jnp.arange(n_out), lo].add(1 - w)
+        m = m.at[jnp.arange(n_out), hi].add(w)
+        return m
+
+    y = jnp.einsum("oh,bhwc->bowc", mat(H, nh), x.astype(jnp.float32))
+    y = jnp.einsum("ow,bwhc->bohc",
+                   mat(W, nw), y.transpose(0, 2, 1, 3)).transpose(0, 2, 1, 3)
+    return y.astype(x.dtype)
+
+
 class MobileViTBlockv2(nn.Module):
     """mobilevitv2.py:858-1040: depthwise local rep, linear-attention
-    global rep, 1×1 proj back (no fusion concat)."""
+    global rep, 1×1 proj back (no fusion concat).
+
+    Non-patch-divisible inputs are resized UP front (bilinear,
+    align_corners=True — resize_input_if_needed :1095-1103) and the block
+    output keeps the resized size (the reference never resizes back)."""
     dim: int
     ffn_dim: int
     n_blocks: int = 2
@@ -280,19 +308,22 @@ class MobileViTBlockv2(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        ph, pw = self.patch
         in_ch = x.shape[-1]
+        H, W = x.shape[1], x.shape[2]
+        nh, nw = -(-H // ph) * ph, -(-W // pw) * pw
+        if (nh, nw) != (H, W):
+            x = _resize_align_corners(x, (nh, nw))
         fm = ConvNormAct(in_ch, 3, groups=in_ch, dtype=self.dtype,
                          name="local_dw")(x, train)
         fm = nn.Conv(self.dim, (1, 1), use_bias=False, dtype=self.dtype,
                      name="local_1x1")(fm)
-        ph, pw = self.patch
-        H, W = fm.shape[1], fm.shape[2]
         p = unfold_patches(fm, ph, pw)              # (B, P, N, d)
         for i in range(self.n_blocks):
             p = LinearAttnFFN(self.dim, self.ffn_dim, dtype=self.dtype,
                               name=f"attn{i}")(p)
         p = LayerNorm2D(dtype=self.dtype, name="norm_out")(p)
-        fm = fold_patches(p, (H, W), ph, pw)
+        fm = fold_patches(p, (nh, nw), ph, pw)
         fm = ConvNormAct(in_ch, 1, use_act=False, dtype=self.dtype,
                          name="conv_proj")(fm, train)
         return fm

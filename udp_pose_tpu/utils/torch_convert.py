@@ -399,6 +399,162 @@ def convert_yolov5(sd: Dict[str, np.ndarray], variant: str = "n"):
     return cv.variables(), unused
 
 
+def _convert_cna(cv: Converter, tkey: str, *path):
+    """corenet ConvLayer (.block.conv [+ .block.norm]) → ConvNormAct."""
+    cv.conv(f"{tkey}.block.conv", *path, "conv")
+    if f"{tkey}.block.norm.weight" in cv.sd:
+        cv.bn(f"{tkey}.block.norm", *path, "bn")
+
+
+def _convert_corenet_mv2(cv: Converter, tp: str, fp):
+    """corenet InvertedResidual (backbones/mobilevit.py:239-366)."""
+    if f"{tp}.block.exp_1x1.block.conv.weight" in cv.sd:
+        _convert_cna(cv, f"{tp}.block.exp_1x1", *fp, "exp_1x1")
+    _convert_cna(cv, f"{tp}.block.conv_3x3", *fp, "conv_3x3")
+    _convert_cna(cv, f"{tp}.block.red_1x1", *fp, "red_1x1")
+
+
+def _convert_mha(cv: Converter, tp: str, fp, dim: int, heads: int):
+    """corenet MultiHeadAttention (combined qkv, backbones/mobilevit.py:
+    369-466; qkv rows = [q;k;v], head-contiguous) → flax MHDPA."""
+    hd = dim // heads
+    W = cv.sd[f"{tp}.qkv_proj.weight"]
+    b = cv.sd[f"{tp}.qkv_proj.bias"]
+    for i, name in enumerate(("query", "key", "value")):
+        _set(cv.params, (*fp, "attn", name, "kernel"),
+             W[i * dim:(i + 1) * dim].T.reshape(dim, heads, hd))
+        _set(cv.params, (*fp, "attn", name, "bias"),
+             b[i * dim:(i + 1) * dim].reshape(heads, hd))
+    _set(cv.params, (*fp, "attn", "out", "kernel"),
+         cv.sd[f"{tp}.out_proj.weight"].T.reshape(heads, hd, dim))
+    _set(cv.params, (*fp, "attn", "out", "bias"),
+         cv.sd[f"{tp}.out_proj.bias"])
+    cv.used.update({f"{tp}.qkv_proj.weight", f"{tp}.qkv_proj.bias",
+                    f"{tp}.out_proj.weight", f"{tp}.out_proj.bias"})
+
+
+def _dense(cv: Converter, tkey: str, *path):
+    _set(cv.params, (*path, "kernel"), cv.sd[f"{tkey}.weight"].T)
+    cv.used.add(f"{tkey}.weight")
+    if f"{tkey}.bias" in cv.sd:
+        _set(cv.params, (*path, "bias"), cv.sd[f"{tkey}.bias"])
+        cv.used.add(f"{tkey}.bias")
+
+
+# (mode, heads=4): transformer depth per vit stage + attn dims, from
+# MOBILEVIT_SPEC in models/mobilevit.py (reference configs/mobilevit*.yaml)
+_MOBILEVIT_STAGES = {
+    "xx_small": ((64, 2), (80, 4), (96, 3)),
+    "x_small": ((96, 2), (120, 4), (144, 3)),
+    "small": ((144, 2), (192, 4), (240, 3)),
+}
+
+
+def convert_mobilevit(sd: Dict[str, np.ndarray], mode: str = "small",
+                      prefix: str = "", heads: int = 4):
+    """Reference MobileViT backbone state_dict (backbones/mobilevit.py:931
+    get_mobilevit / corenet layout) → flax MobileViT variables."""
+    cv = Converter(sd)
+    p = prefix
+    _convert_cna(cv, f"{p}conv_1", "conv_1")
+    _convert_corenet_mv2(cv, f"{p}layer_1.0", ("layer1_0",))
+    for i in range(3):
+        _convert_corenet_mv2(cv, f"{p}layer_2.{i}", (f"layer2_{i}",))
+    for li, (dim, L) in zip((3, 4, 5), _MOBILEVIT_STAGES[mode]):
+        _convert_corenet_mv2(cv, f"{p}layer_{li}.0", (f"layer{li}_mv2",))
+        tp = f"{p}layer_{li}.1"
+        fp = (f"layer{li}_vit",)
+        _convert_cna(cv, f"{tp}.local_rep.conv_3x3", *fp, "local_3x3")
+        cv.conv(f"{tp}.local_rep.conv_1x1.block.conv", *fp, "local_1x1")
+        for b in range(L):
+            base = f"{tp}.global_rep.{b}"
+            tr = (*fp, f"tr{b}")
+            cv.ln(f"{base}.pre_norm_mha.0", *tr, "ln1")
+            _convert_mha(cv, f"{base}.pre_norm_mha.1", tr, dim, heads)
+            cv.ln(f"{base}.pre_norm_ffn.0", *tr, "ln2")
+            _dense(cv, f"{base}.pre_norm_ffn.1", *tr, "fc1")
+            _dense(cv, f"{base}.pre_norm_ffn.4", *tr, "fc2")
+        cv.ln(f"{tp}.global_rep.{L}", *fp, "ln_out")
+        _convert_cna(cv, f"{tp}.conv_proj", *fp, "conv_proj")
+        _convert_cna(cv, f"{tp}.fusion", *fp, "fusion")
+    _convert_cna(cv, f"{p}conv_1x1_exp", "conv_1x1_exp")
+    unused = [k for k in cv.unused() if "classifier" not in k]
+    return cv.variables(), unused
+
+
+def convert_mobilevitv2(sd: Dict[str, np.ndarray], prefix: str = ""):
+    """Reference MobileViTv2 backbone state_dict (backbones/mobilevitv2.py:
+    1456 factory) → flax MobileViTv2 variables."""
+    cv = Converter(sd)
+    p = prefix
+    _convert_cna(cv, f"{p}conv_1", "conv_1")
+    _convert_corenet_mv2(cv, f"{p}layer_1.0", ("layer1_0",))
+    for i in range(2):
+        _convert_corenet_mv2(cv, f"{p}layer_2.{i}", (f"layer2_{i}",))
+    for li, L in zip((3, 4, 5), (2, 4, 3)):
+        _convert_corenet_mv2(cv, f"{p}layer_{li}.0", (f"layer{li}_mv2",))
+        tp = f"{p}layer_{li}.1"
+        fp = (f"layer{li}_vit",)
+        _convert_cna(cv, f"{tp}.local_rep.0", *fp, "local_dw")
+        cv.conv(f"{tp}.local_rep.1.block.conv", *fp, "local_1x1")
+        for b in range(L):
+            base = f"{tp}.global_rep.{b}"
+            ab = (*fp, f"attn{b}")
+            cv.ln(f"{base}.pre_norm_attn.0", *ab, "norm1")
+            cv.conv(f"{base}.pre_norm_attn.1.qkv_proj.block.conv",
+                    *ab, "attn", "qkv_proj")
+            cv.conv(f"{base}.pre_norm_attn.1.out_proj.block.conv",
+                    *ab, "attn", "out_proj")
+            cv.ln(f"{base}.pre_norm_ffn.0", *ab, "norm2")
+            cv.conv(f"{base}.pre_norm_ffn.1.block.conv", *ab, "ffn1")
+            cv.conv(f"{base}.pre_norm_ffn.3.block.conv", *ab, "ffn2")
+        cv.ln(f"{tp}.global_rep.{L}", *fp, "norm_out")
+        _convert_cna(cv, f"{tp}.conv_proj", *fp, "conv_proj")
+    unused = [k for k in cv.unused() if "classifier" not in k]
+    return cv.variables(), unused
+
+
+def convert_mobilenetv3_small(sd: Dict[str, np.ndarray],
+                              prefix: str = "features."):
+    """torchvision mobilenet_v3_small features → flax MobileNetV3Small.
+
+    ``prefix`` is whatever precedes the per-feature indices: raw
+    torchvision uses ``features.``; the reference consumer
+    (backbones/mobilenetv3.py:5-16) wraps ``Sequential(*children[:-2])``
+    which flattens to a bare ``0.`` prefix.  Layout: {p}0 stem CNA,
+    {p}1..11 InvertedResidual (.block.{i} sub-CNAs + SqueezeExcitation
+    fc1/fc2), {p}12 last CNA."""
+    from ..models.mobile import MOBILENETV3_SMALL_SPEC
+
+    cv = Converter(sd)
+    p = prefix
+
+    def cna(tkey, *path):
+        cv.conv(f"{tkey}.0", *path, "conv")
+        cv.bn(f"{tkey}.1", *path, "bn")
+
+    cna(f"{p}0", "stem")
+    in_ch = 16
+    for bi, (exp, out, _k, _s, se, _act) in enumerate(MOBILENETV3_SMALL_SPEC):
+        tb = f"{p}{bi + 1}.block"
+        j = 0
+        if exp != in_ch:
+            cna(f"{tb}.{j}", f"b{bi}_expand")
+            j += 1
+        cna(f"{tb}.{j}", f"b{bi}_dw")
+        j += 1
+        if se:
+            cv.conv(f"{tb}.{j}.fc1", f"b{bi}_se", "fc1")
+            cv.conv(f"{tb}.{j}.fc2", f"b{bi}_se", "fc2")
+            j += 1
+        cna(f"{tb}.{j}", f"b{bi}_project")
+        in_ch = out
+    cna(f"{p}12", "conv_last")
+    unused = [k for k in cv.unused()
+              if not any(s in k for s in ("classifier", "avgpool"))]
+    return cv.variables(), unused
+
+
 def check_against_model(variables, model, input_shape):
     """Shape-check converted variables against a fresh init; raises on
     mismatch, returns the converted tree with init's missing leaves."""
