@@ -204,3 +204,69 @@ def test_rsn_torch_output_parity():
                                  train=False)).transpose(0, 3, 1, 2)
     assert yt.shape == yf.shape
     np.testing.assert_allclose(yf, yt, rtol=1e-3, atol=5e-4)
+
+
+@pytest.mark.skipif(not os.path.isdir(RSN_ROOT),
+                    reason="reference checkout not present")
+def test_rsn_prm_se_torch_output_parity():
+    """SE/PRM variant output parity vs the ACTUAL reference network
+    (RSN/exps/RSN18.coco.e1.se.36x8x132000_prm/network.py): conv stem
+    :188-202, planes-based branch_ch :73, SE(8) in every bottleneck :113,
+    PRM at the ind==3 upsample unit :345-358."""
+    import torch
+    from udp_pose_tpu.models import build_model
+    from udp_pose_tpu.utils.torch_convert import (check_against_model,
+                                                  convert_rsn)
+
+    from ref_harness import claim_rsn_namespace
+    claim_rsn_namespace()
+    spec = importlib.util.spec_from_file_location(
+        "ref_rsn_prm_network",
+        os.path.join(RSN_ROOT,
+                     "exps/RSN18.coco.e1.se.36x8x132000_prm/network.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    class _NS:
+        pass
+
+    rcfg = _NS()
+    rcfg.MODEL = _NS(); rcfg.MODEL.STAGE_NUM = 2
+    rcfg.MODEL.UPSAMPLE_CHANNEL_NUM = 256
+    rcfg.DATASET = _NS(); rcfg.DATASET.KEYPOINT = _NS()
+    rcfg.DATASET.KEYPOINT.NUM = 17
+    rcfg.OUTPUT_SHAPE = (64, 48)
+    rcfg.LOSS = _NS(); rcfg.LOSS.OHKM = True; rcfg.LOSS.TOPK = 8
+    rcfg.LOSS.COARSE_TO_FINE = True
+
+    tmodel = mod.RSN(rcfg)
+    tmodel.eval()
+    g = torch.Generator().manual_seed(1)
+    sd = tmodel.state_dict()
+    for k, v in sd.items():
+        if v.dtype.is_floating_point:
+            if "running_var" in k:
+                sd[k] = torch.rand(v.shape, generator=g) + 0.5
+            elif "running_mean" in k:
+                sd[k] = torch.randn(v.shape, generator=g) * 0.1
+            else:
+                sd[k] = torch.randn(v.shape, generator=g) * 0.05
+    tmodel.load_state_dict(sd)
+
+    cfg = _rsn_cfg(stage_num=2, prm=True)
+    cfg.MODEL.EXTRA.USE_SE = True
+    fmodel = build_model(cfg)
+    variables, unused = convert_rsn(
+        {k: v.numpy() for k, v in tmodel.state_dict().items()},
+        stage_num=2, se=True, prm=True)
+    assert not unused, unused[:8]
+    variables = check_against_model(variables, fmodel, (1, 256, 192, 3))
+
+    rng = np.random.default_rng(19)
+    x = rng.normal(size=(1, 3, 256, 192)).astype(np.float32)
+    with torch.no_grad():
+        yt = tmodel(torch.tensor(x)).numpy()
+    yf = np.asarray(fmodel.apply(variables, x.transpose(0, 2, 3, 1),
+                                 train=False)).transpose(0, 3, 1, 2)
+    assert yt.shape == yf.shape
+    np.testing.assert_allclose(yf, yt, rtol=1e-3, atol=5e-4)

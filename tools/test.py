@@ -32,6 +32,9 @@ def main():
 
     from udp_pose_tpu.utils.platform import maybe_force_platform
     maybe_force_platform()
+    from udp_pose_tpu.parallel.multihost import (maybe_initialize_from_env,
+                                                 process_shard_info)
+    maybe_initialize_from_env()
     import jax
     from udp_pose_tpu.core.validate import validate
     from udp_pose_tpu.data import build_dataset
@@ -59,12 +62,17 @@ def main():
             r, jnp.zeros((1, h, w, 3)), train=False))(jax.random.PRNGKey(0))
 
     mesh = None
-    if len(jax.devices()) > 1:
+    if len(jax.local_devices()) > 1 and jax.process_count() == 1:
         from udp_pose_tpu.parallel import make_mesh
         mesh = make_mesh(cfg.TPU.MESH.DATA, cfg.TPU.MESH.MODEL)
         logger.info(f"=> sharding eval over mesh {dict(mesh.shape)}")
+    shard_index, num_shards = process_shard_info()
+    if num_shards > 1:
+        logger.info(f"=> multi-host eval: process {shard_index}/{num_shards}")
     name_values, perf = validate(cfg, val_ds, model, variables,
-                                 final_output_dir, mesh=mesh)
+                                 final_output_dir if shard_index == 0 else "",
+                                 mesh=mesh, shard_index=shard_index,
+                                 num_shards=num_shards)
     print_name_value(logger, name_values, cfg.MODEL.NAME)
     logger.info(f"=> perf: {perf:.4f}")
 

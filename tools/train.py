@@ -36,6 +36,9 @@ def main():
 
     from udp_pose_tpu.utils.platform import maybe_force_platform
     maybe_force_platform()
+    from udp_pose_tpu.parallel.multihost import (maybe_initialize_from_env,
+                                                 process_shard_info)
+    maybe_initialize_from_env()
     import jax
     from udp_pose_tpu.core.loss import make_loss_fn
     from udp_pose_tpu.core.train import (create_train_state, make_train_step,
@@ -66,7 +69,14 @@ def main():
 
     mesh = make_mesh(cfg.TPU.MESH.DATA, cfg.TPU.MESH.MODEL)
     n_dev = mesh.shape["data"]
+    shard_index, num_shards = process_shard_info()
+    is_main = shard_index == 0
+    # global batch over ALL devices; each host loads its 1/num_shards slice
     batch_size = cfg.TRAIN.BATCH_SIZE_PER_GPU * n_dev
+    local_batch = batch_size // num_shards
+    if num_shards > 1:
+        logger.info(f"multi-host: process {shard_index}/{num_shards}, "
+                    f"global batch {batch_size}, local {local_batch}")
     steps_per_epoch = max(len(train_ds) // batch_size, 1)
 
     is_rsn = cfg.MODEL.NAME == "rsn"
@@ -97,19 +107,24 @@ def main():
             logger.info(f"=> resumed at epoch {begin_epoch}")
 
     def make_epoch_iter(epoch):
-        """WORKERS>0 → grain multiprocess loader; else in-process loader."""
+        """WORKERS>0 → grain multiprocess loader; else in-process loader.
+        Each host iterates only its shard (epoch-seeded, deterministic —
+        replaces DistributedSampler)."""
         if cfg.WORKERS > 0:
             try:
                 from udp_pose_tpu.data.grain_loader import grain_loader
-                return grain_loader(train_ds, batch_size, seed=epoch,
+                return grain_loader(train_ds, local_batch, seed=epoch,
                                     shuffle=cfg.TRAIN.SHUFFLE,
-                                    num_workers=cfg.WORKERS)
-            except Exception as e:
+                                    num_workers=cfg.WORKERS,
+                                    shard_index=shard_index,
+                                    num_shards=num_shards)
+            except ImportError as e:
                 logger.warning(f"grain loader unavailable ({e}); "
                                "falling back to in-process loader")
         train_ds.seed(epoch)
-        return epoch_loader(train_ds, batch_size,
-                            shuffle=cfg.TRAIN.SHUFFLE, seed=epoch)
+        return epoch_loader(train_ds, local_batch,
+                            shuffle=cfg.TRAIN.SHUFFLE, seed=epoch,
+                            shard_index=shard_index, num_shards=num_shards)
 
     global_step = 0
     for epoch in range(begin_epoch, cfg.TRAIN.END_EPOCH):
@@ -143,20 +158,25 @@ def main():
             t_end = time.time()
             global_step += 1
 
-        name_values, perf = validate(cfg, val_ds, model,
-                                     {"params": state.params,
-                                      "batch_stats": state.batch_stats},
-                                     final_output_dir)
+        name_values, perf = validate(
+            cfg, val_ds, model,
+            {"params": state.params, "batch_stats": state.batch_stats},
+            final_output_dir if is_main else "",
+            shard_index=shard_index, num_shards=num_shards)
         print_name_value(logger, name_values, cfg.MODEL.NAME)
         if writer:
             writer.add_scalar("valid_perf", perf, epoch)
 
         best = perf > best_perf
         best_perf = max(best_perf, perf)
-        save_checkpoint(final_output_dir, state, epoch, perf, is_best=best)
+        if is_main:     # rank-0 checkpointing (reference engine.py:162-169)
+            save_checkpoint(final_output_dir, state, epoch, perf,
+                            is_best=best)
 
-    save_weights(os.path.join(final_output_dir, "final_state.msgpack"), state)
-    logger.info(f"=> saved final state to {final_output_dir}")
+    if is_main:
+        save_weights(os.path.join(final_output_dir, "final_state.msgpack"),
+                     state)
+        logger.info(f"=> saved final state to {final_output_dir}")
 
 
 if __name__ == "__main__":

@@ -21,13 +21,22 @@ logger = logging.getLogger(__name__)
 
 
 def validate(cfg, dataset, model, variables, output_dir="",
-             batch_size=None, infer_fn=None, mesh=None):
+             batch_size=None, infer_fn=None, mesh=None,
+             shard_index=0, num_shards=1, gather_fn=None):
     """Returns (name_values, perf_indicator).
 
     With ``mesh``, eval batches shard over the 'data' axis (the sharded
     equivalent of the reference's rank-Subset eval,
     RSN/lib/utils/dataloader.py:86-92 — but as one sharded computation
     instead of per-process subsets).
+
+    With ``num_shards > 1`` (multi-host), this process decodes only its
+    contiguous-stride shard of the dataset (epoch_loader shard slicing),
+    then the tiny decoded arrays are all-gathered (``gather_fn``, default
+    jax multihost_utils.process_allgather) and re-interleaved into global
+    order before dataset.evaluate — replacing the reference's pickled
+    all_gather (RSN/lib/utils/comm.py:47-87, test.py:119-131).  Every
+    process returns the same evaluation result.
     """
     pairs = tuple(map(tuple, dataset.flip_pairs))
     if infer_fn is None:
@@ -64,11 +73,13 @@ def validate(cfg, dataset, model, variables, output_dir="",
     all_preds = np.zeros((n, J, 3), np.float32)
     all_boxes = np.zeros((n, 6))
     image_paths = []
+    local_preds, local_boxes = [], []
     idx = 0
     accs, t0 = [], time.time()
 
     for batch in epoch_loader(dataset, batch_size, shuffle=False,
-                              drop_last=False):
+                              drop_last=False, shard_index=shard_index,
+                              num_shards=num_shards):
         bs = batch["image"].shape[0]
         pad = batch_size - bs
         images = batch["image"]
@@ -91,19 +102,48 @@ def validate(cfg, dataset, model, variables, output_dir="",
                 _, avg_acc, cnt, _ = pck_accuracy(hm_np, batch["target"])
             accs.append((avg_acc, cnt))
 
-        all_preds[idx:idx + bs, :, 0:2] = preds
-        all_preds[idx:idx + bs, :, 2:3] = maxvals
-        all_boxes[idx:idx + bs, 0:2] = batch["center"]
-        all_boxes[idx:idx + bs, 2:4] = batch["scale"]
-        all_boxes[idx:idx + bs, 4] = np.prod(batch["scale"] * 200, axis=1)
-        all_boxes[idx:idx + bs, 5] = batch["score"]
-        image_paths.extend(batch["image_path"])
+        row_preds = np.zeros((bs, J, 3), np.float32)
+        row_preds[:, :, 0:2] = preds
+        row_preds[:, :, 2:3] = maxvals
+        row_boxes = np.zeros((bs, 6))
+        row_boxes[:, 0:2] = batch["center"]
+        row_boxes[:, 2:4] = batch["scale"]
+        row_boxes[:, 4] = np.prod(batch["scale"] * 200, axis=1)
+        row_boxes[:, 5] = batch["score"]
+        if num_shards > 1:
+            local_preds.append(row_preds)
+            local_boxes.append(row_boxes)
+        else:
+            all_preds[idx:idx + bs] = row_preds
+            all_boxes[idx:idx + bs] = row_boxes
+            image_paths.extend(batch["image_path"])
         idx += bs
 
     crops_per_sec = idx / max(time.time() - t0, 1e-9)
     mean_acc = (sum(a * c for a, c in accs) / max(sum(c for _, c in accs), 1))
     logger.info("validate: %d crops, %.1f crops/s, PCK@0.5 %.3f",
                 idx, crops_per_sec, mean_acc)
+
+    if num_shards > 1:
+        local_preds = np.concatenate(local_preds)
+        local_boxes = np.concatenate(local_boxes)
+        if gather_fn is None:
+            from jax.experimental import multihost_utils
+
+            def gather_fn(x):      # noqa: F811
+                return multihost_utils.process_allgather(x)
+        preds_g = np.asarray(gather_fn(local_preds)).reshape(
+            num_shards, -1, J, 3)
+        boxes_g = np.asarray(gather_fn(local_boxes)).reshape(
+            num_shards, -1, 6)
+        # re-interleave: shard s carried padded-global rows s::num_shards
+        total = ((n + num_shards - 1) // num_shards) * num_shards
+        padded = np.concatenate([np.arange(n), np.arange(total - n)])
+        for s in range(num_shards):
+            gi = padded[s::num_shards]
+            all_preds[gi] = preds_g[s][: len(gi)]
+            all_boxes[gi] = boxes_g[s][: len(gi)]
+        image_paths = [dataset.db[i]["image"] for i in range(n)]
 
     name_values, perf = dataset.evaluate(cfg, all_preds, output_dir,
                                          all_boxes, image_paths)

@@ -114,6 +114,7 @@ class RSNBottleneck(nn.Module):
     downsample: bool = False
     plain: bool = False
     se: bool = False
+    bc_planes: bool = False
     dtype: Any = jnp.float32
     expansion = 1
 
@@ -128,7 +129,11 @@ class RSNBottleneck(nn.Module):
             out = ConvBnRelu(self.planes, 1, 1, has_relu=False,
                              dtype=self.dtype, name="cbr3")(out, train)
         else:
-            bc = self.in_planes * 26 // 64
+            # base RSN: branch_ch from in_planes (RSN18.coco/network.py:55);
+            # the SE/PRM experiment derives it from planes instead
+            # (RSN18.coco.e1.se...prm/network.py:73)
+            bc = (self.planes if self.bc_planes
+                  else self.in_planes) * 26 // 64
             out = ConvBnRelu(4 * bc, 1, self.stride, dtype=self.dtype,
                              name="cbr1")(x, train)
             spx = [out[..., i * bc:(i + 1) * bc] for i in range(4)]
@@ -151,7 +156,9 @@ class RSNBottleneck(nn.Module):
             out = ConvBnRelu(self.planes, 1, 1, has_relu=False,
                              dtype=self.dtype, name="cbr3")(out, train)
         if self.se:
-            out = SELayer(self.planes, dtype=self.dtype, name="se")(out)
+            # reduction=8 per the SE/PRM experiment (its network.py:113)
+            out = SELayer(self.planes, reduction=8, dtype=self.dtype,
+                          name="se")(out)
         if self.downsample:
             residual = ConvBnRelu(self.planes, 1, self.stride, has_relu=False,
                                   dtype=self.dtype, name="down")(x, train)
@@ -164,6 +171,7 @@ class DownsampleModule(nn.Module):
     has_skip: bool = False
     plain: bool = False
     se: bool = False
+    bc_planes: bool = False
     remat: bool = False
     dtype: Any = jnp.float32
 
@@ -182,7 +190,8 @@ class DownsampleModule(nn.Module):
                 need_down = (bi == 0 and
                              (s != 1 or in_planes != planes))
                 x = block_cls(in_planes, planes, s, downsample=need_down,
-                              plain=self.plain, se=self.se, dtype=self.dtype,
+                              plain=self.plain, se=self.se,
+                              bc_planes=self.bc_planes, dtype=self.dtype,
                               name=f"layer{li + 1}_{bi}")(x, train)
                 in_planes = planes
             if self.has_skip:
@@ -307,14 +316,27 @@ class RSN(nn.Module):
     layers: Sequence[int] = (2, 2, 2, 2)
     plain: bool = False
     se: bool = False
+    bc_planes: bool = False
+    conv_stem: bool = False
     use_prm: bool = False
     remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False, all_stages: bool = False):
-        x = ConvBnRelu(64, 7, 2, dtype=self.dtype, name="top")(x, train)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        if self.conv_stem:
+            # SE/PRM experiment stem: 3 convs, no maxpool
+            # (RSN18.coco.e1.se...prm/network.py:188-202)
+            x = ConvBnRelu(64, 3, 2, dtype=self.dtype,
+                           name="top_conv0")(x, train)
+            x = ConvBnRelu(64, 7, 1, dtype=self.dtype,
+                           name="top_conv1")(x, train)
+            x = ConvBnRelu(64, 3, 2, dtype=self.dtype,
+                           name="top_conv2")(x, train)
+        else:
+            x = ConvBnRelu(64, 7, 2, dtype=self.dtype, name="top")(x, train)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)))
         skip1 = skip2 = None
         outputs = []
         for i in range(self.stage_num):
@@ -322,7 +344,7 @@ class RSN(nn.Module):
             last = i == self.stage_num - 1
             x4, x3, x2, x1 = DownsampleModule(
                 tuple(self.layers), has_skip, self.plain, self.se,
-                self.remat, dtype=self.dtype,
+                self.bc_planes, self.remat, dtype=self.dtype,
                 name=f"stage{i}_down")(x, skip1, skip2, train)
             res, skip1, skip2, cross = UpsampleModule(
                 self.output_chl_num, self.output_shape,
@@ -347,6 +369,9 @@ def rsn_from_cfg(cfg):
         upsample_chl_num=extra.get("UPSAMPLE_CHANNEL_NUM", 256),
         plain=extra.get("PLAIN_BOTTLENECK", False),
         se=extra.get("USE_SE", False),
+        # the reference SE/PRM experiment couples these with USE_SE
+        bc_planes=extra.get("BC_FROM_PLANES", extra.get("USE_SE", False)),
+        conv_stem=extra.get("CONV_STEM", extra.get("USE_SE", False)),
         use_prm=extra.get("USE_PRM", False),
         remat=cfg.TPU.REMAT,
         dtype=dtype,

@@ -41,8 +41,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree):
-    """Device-put every array in a pytree with batch-dim sharding."""
+    """Device-put every array in a pytree with batch-dim sharding.
+
+    Multi-host: each process passes its LOCAL rows (global_batch /
+    process_count) and the global array is assembled per-host
+    (make_array_from_process_local_data) — the TPU-native replacement for
+    DistributedSampler + DDP feeding (RSN dataloader.py:18-72)."""
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        def put(x):
+            x = np.asarray(x)
+            gshape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+            return jax.make_array_from_process_local_data(sh, x, gshape)
+        return jax.tree_util.tree_map(put, tree)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 

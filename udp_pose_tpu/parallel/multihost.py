@@ -36,6 +36,30 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
         pass
 
 
+def maybe_initialize_from_env(environ=None):
+    """Initialise jax.distributed from JAX_COORDINATOR / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID env vars (the torch.distributed.launch-style contract a
+    2-host user drives the CLIs with; reference: WORLD_SIZE/RANK env://
+    rendezvous, RSN engine.py:52-66).  Returns True when multi-process.
+
+    On real TPU pods the vars may be omitted — set JAX_MULTIHOST=1 to call
+    ``jax.distributed.initialize()`` with metadata-server autodetection.
+    """
+    import os
+    env = os.environ if environ is None else environ
+    if env.get("JAX_MULTIHOST"):
+        initialize_distributed()
+        return True
+    n = int(env.get("JAX_NUM_PROCESSES", "1") or "1")
+    if n <= 1:
+        return False
+    initialize_distributed(
+        coordinator_address=env.get("JAX_COORDINATOR", "localhost:12321"),
+        num_processes=n,
+        process_id=int(env.get("JAX_PROCESS_ID", "0") or "0"))
+    return True
+
+
 def process_shard_info():
     """(shard_index, num_shards) for the per-host data loader."""
     import jax

@@ -238,7 +238,12 @@ def convert_rsn(sd: Dict[str, np.ndarray], stage_num: int,
     always uses has_bn=True, so every bn maps.
     """
     cv = Converter(sd)
-    _convert_cbr(cv, "top.conv", "top")
+    if "top.conv.0.conv.weight" in sd:
+        # SE/PRM experiment 3-conv stem (its network.py:188-202)
+        for i in range(3):
+            _convert_cbr(cv, f"top.conv.{i}", f"top_conv{i}")
+    else:
+        _convert_cbr(cv, "top.conv", "top")
     steps = ["cbr2_1_1", "cbr2_2_1", "cbr2_2_2", "cbr2_3_1", "cbr2_3_2",
              "cbr2_3_3", "cbr2_4_1", "cbr2_4_2", "cbr2_4_3", "cbr2_4_4"]
     for si in range(stage_num):
