@@ -82,21 +82,37 @@ def main():
     is_rsn = cfg.MODEL.NAME == "rsn"
     state = create_train_state(cfg, model, jax.random.PRNGKey(0),
                                steps_per_epoch)
+    iter_mode = is_rsn and cfg.TRAIN.MAX_ITER > 0
     if is_rsn:
         from udp_pose_tpu.core.rsn import (make_rsn_optimizer,
                                            make_rsn_train_step)
         from udp_pose_tpu.core.train import TrainState
-        tx = make_rsn_optimizer(
-            cfg.TRAIN.LR, cfg.TRAIN.WD,
-            max_iters=max(steps_per_epoch * cfg.TRAIN.END_EPOCH, 2),
-            warmup_iters=min(1000, steps_per_epoch))
+        if iter_mode:
+            # reference recipe: iteration counts/checkpoint period scale by
+            # 8-GPU-baseline / actual width, LR scales UP linearly
+            # (RSN train.py:36-38, solver.py:11)
+            scale = cfg.TRAIN.ITER_BASELINE_DEVICES / n_dev
+            max_iters = max(int(cfg.TRAIN.MAX_ITER * scale), 2)
+            ckpt_period = max(int(cfg.TRAIN.CHECKPOINT_PERIOD * scale), 1)
+            base_lr = cfg.TRAIN.LR * n_dev
+            warmup_iters = cfg.TRAIN.WARMUP_ITERS
+            logger.info(f"iteration mode: {max_iters} iters "
+                        f"(x{scale:.2f} of {cfg.TRAIN.MAX_ITER}), "
+                        f"lr {base_lr}, ckpt every {ckpt_period}")
+        else:
+            max_iters = max(steps_per_epoch * cfg.TRAIN.END_EPOCH, 2)
+            ckpt_period = 0
+            base_lr = cfg.TRAIN.LR
+            warmup_iters = min(1000, steps_per_epoch)
+        tx = make_rsn_optimizer(base_lr, cfg.TRAIN.WD, max_iters=max_iters,
+                                warmup_iters=warmup_iters)
         state = TrainState.create(model.apply, state.params,
                                   state.batch_stats, tx)
         step_fn = make_rsn_train_step(
             cfg.MODEL.EXTRA.get("STAGE_NUM", 1), ohkm=cfg.LOSS.USE_OHKM,
             topk=cfg.LOSS.TOPK)
     else:
-        step_fn = make_train_step(make_loss_fn(cfg))
+        step_fn = make_train_step(make_loss_fn(cfg), with_output=True)
     state = jax.device_put(state, replicated(mesh))
 
     begin_epoch, best_perf = cfg.TRAIN.BEGIN_EPOCH, 0.0
@@ -122,13 +138,83 @@ def main():
                 logger.warning(f"grain loader unavailable ({e}); "
                                "falling back to in-process loader")
         train_ds.seed(epoch)
+        group_ids = None
+        if cfg.DATASET.ASPECT_RATIO_GROUPING:
+            from udp_pose_tpu.data.base import aspect_ratio_group_ids
+            group_ids = aspect_ratio_group_ids(train_ds)
         return epoch_loader(train_ds, local_batch,
                             shuffle=cfg.TRAIN.SHUFFLE, seed=epoch,
-                            shard_index=shard_index, num_shards=num_shards)
+                            shard_index=shard_index, num_shards=num_shards,
+                            group_ids=group_ids)
+
+    if iter_mode:
+        # ---- iteration-based RSN training (reference train.py:69-115) ----
+        from udp_pose_tpu.utils.checkpoint import (load_iter_checkpoint,
+                                                   save_iter_checkpoint)
+        start_iter = 0
+        if cfg.AUTO_RESUME:
+            state, start_iter = load_iter_checkpoint(final_output_dir, state)
+            if start_iter:
+                logger.info(f"=> resumed at iteration {start_iter}")
+
+        def infinite_batches():
+            """IterationBasedBatchSampler equivalent: endless epoch-seeded
+            resampling (cvpack iteration_based_batch_sampler.py:5-31)."""
+            p = 0
+            while True:
+                yield from make_epoch_iter(p)
+                p += 1
+
+        batches = infinite_batches()
+        loss_sum, loss_cnt = None, 0
+        t_end = time.time()
+        for iteration in range(start_iter, max_iters):
+            batch = next(batches)
+            device_batch = shard_batch(mesh, {
+                "image": batch["image"],
+                "labels": batch["labels"],
+                "valid": batch["valid"],
+            })
+            state, metrics = step_fn(state, device_batch)
+            step_loss = metrics["total_loss"]
+            loss_sum = step_loss if loss_sum is None else loss_sum + step_loss
+            loss_cnt += 1
+            if iteration % cfg.PRINT_FREQ == 0:
+                loss = float(step_loss)
+                speed = batch["image"].shape[0] / max(time.time() - t_end,
+                                                      1e-9)
+                eta_s = (max_iters - iteration) * \
+                    max(time.time() - t_end, 1e-9)
+                logger.info(
+                    f"Iter [{iteration}/{max_iters}] Speed {speed:.1f}/s "
+                    f"Loss {loss:.4f} (avg {float(loss_sum) / loss_cnt:.4f}) "
+                    f"ETA {eta_s / 3600:.2f}h")
+                if writer:
+                    writer.add_scalar("train_loss", loss, iteration)
+            if is_main and ckpt_period and \
+                    (iteration + 1) % ckpt_period == 0:
+                save_iter_checkpoint(final_output_dir, state, iteration)
+            t_end = time.time()
+        if is_main:
+            save_iter_checkpoint(final_output_dir, state, max_iters - 1)
+        name_values, perf = validate(
+            cfg, val_ds, model,
+            {"params": state.params, "batch_stats": state.batch_stats},
+            final_output_dir if is_main else "",
+            shard_index=shard_index, num_shards=num_shards)
+        print_name_value(logger, name_values, cfg.MODEL.NAME)
+        if is_main:
+            save_weights(os.path.join(final_output_dir,
+                                      "final_state.msgpack"), state)
+        return
 
     global_step = 0
     for epoch in range(begin_epoch, cfg.TRAIN.END_EPOCH):
-        losses = AverageMeter()
+        # running loss accumulates ON DEVICE every step (exact average like
+        # the reference's per-step losses.update, function.py:80 — without
+        # a per-step device→host sync); fetched only at PRINT_FREQ
+        loss_sum, loss_cnt = None, 0
+        acc_meter = AverageMeter()
         t_end = time.time()
         for i, batch in enumerate(make_epoch_iter(epoch)):
             if is_rsn:
@@ -146,15 +232,39 @@ def main():
                 device_batch["image"] = normalize_images(
                     device_batch["image"])
             state, metrics = step_fn(state, device_batch)
+            step_loss = metrics.get("loss", metrics.get("total_loss"))
+            loss_sum = step_loss if loss_sum is None else loss_sum + step_loss
+            loss_cnt += 1
             if i % cfg.PRINT_FREQ == 0:
-                loss = float(metrics.get("loss", metrics.get("total_loss")))
-                losses.update(loss, batch["image"].shape[0])
-                speed = batch["image"].shape[0] / max(time.time() - t_end, 1e-9)
+                loss = float(step_loss)
+                loss_avg = float(loss_sum) / loss_cnt
+                if not is_rsn:
+                    # train-time PCK@0.5 on heatmap argmax
+                    # (reference evaluate.py:41-71; offset → ::3 channels)
+                    from udp_pose_tpu.core.accuracy import pck_accuracy
+                    hm = np.asarray(metrics["output"])
+                    tgt = batch["target"]
+                    if cfg.MODEL.TARGET_TYPE == "offset":
+                        hm, tgt = hm[:, ::3], tgt[:, ::3]
+                    _, avg_acc, cnt, pred = pck_accuracy(hm, tgt)
+                    acc_meter.update(avg_acc, cnt)
+                speed = batch["image"].shape[0] / max(time.time() - t_end,
+                                                      1e-9)
                 logger.info(
                     f"Epoch [{epoch}][{i}/{steps_per_epoch}] "
-                    f"Speed {speed:.1f}/s Loss {loss * 1e5:.1f}e-5")
+                    f"Speed {speed:.1f}/s Loss {loss * 1e5:.1f}e-5 "
+                    f"(avg {loss_avg * 1e5:.1f}e-5) "
+                    f"Acc {acc_meter.val:.3f} ({acc_meter.avg:.3f})")
                 if writer:
                     writer.add_scalar("train_loss", loss, global_step)
+                    writer.add_scalar("train_acc", acc_meter.val, global_step)
+                if cfg.DEBUG.DEBUG and not is_rsn and is_main:
+                    from udp_pose_tpu.utils.vis import save_debug_images
+                    prefix = os.path.join(final_output_dir,
+                                          f"train_{epoch}_{i}")
+                    save_debug_images(cfg, batch["image"], batch["joints"],
+                                      batch["joints_vis"], tgt,
+                                      hm, prefix, pred_joints=pred * 4)
             t_end = time.time()
             global_step += 1
 

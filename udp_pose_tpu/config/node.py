@@ -194,6 +194,9 @@ def default_config() -> Node:
     c.DATASET.PROB_HALF_BODY = 0.0
     c.DATASET.NUM_JOINTS_HALF_BODY = 8
     c.DATASET.COLOR_RGB = False
+    # one-group-per-batch aspect-ratio batching (RSN DATALOADER.
+    # ASPECT_RATIO_GROUPING, off by default in the reference too)
+    c.DATASET.ASPECT_RATIO_GROUPING = False
     c.DATASET.USE_API = False
 
     c.TRAIN = Node()
@@ -212,6 +215,12 @@ def default_config() -> Node:
     c.TRAIN.CHECKPOINT = ""
     c.TRAIN.BATCH_SIZE_PER_GPU = 32    # per-device batch on TPU
     c.TRAIN.SHUFFLE = True
+    # iteration-based training (RSN recipe, RSN/exps/*/config.py:60-68 +
+    # train.py:36-38 8-GPU-baseline scaling); MAX_ITER 0 = epoch mode
+    c.TRAIN.MAX_ITER = 0
+    c.TRAIN.CHECKPOINT_PERIOD = 2400
+    c.TRAIN.WARMUP_ITERS = 2400
+    c.TRAIN.ITER_BASELINE_DEVICES = 8
 
     c.TEST = Node()
     c.TEST.BATCH_SIZE_PER_GPU = 32

@@ -89,12 +89,14 @@ def create_train_state(cfg, model, rng, steps_per_epoch: int) -> TrainState:
                              variables.get("batch_stats", FrozenDict()), tx)
 
 
-def make_train_step(loss_fn, remat: bool = False):
+def make_train_step(loss_fn, remat: bool = False, with_output: bool = False):
     """Build the jitted train step.
 
     ``batch``: dict(image (B,H,W,3) float32 normalised, target (B,C,Ht,Wt),
     target_weight (B,J)).  The model outputs NHWC; the loss sees NCHW
     (reference layout).  Donates the state for in-place buffer reuse.
+    ``with_output`` adds the NCHW heatmaps to the metrics (fetched only at
+    PRINT_FREQ steps for train-time PCK / DEBUG images — no per-step sync).
     """
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
@@ -105,9 +107,9 @@ def make_train_step(loss_fn, remat: bool = False):
             nchw = out.transpose(0, 3, 1, 2).astype(jnp.float32)
             loss, aux = loss_fn(nchw, batch["target"],
                                 batch["target_weight"])
-            return loss, (aux, mut["batch_stats"])
+            return loss, (aux, mut["batch_stats"], nchw)
 
-        (loss, (aux, new_bs)), grads = jax.value_and_grad(
+        (loss, (aux, new_bs, nchw)), grads = jax.value_and_grad(
             loss_of, has_aux=True)(state.params)
         updates, new_opt = state.tx.update(grads, state.opt_state,
                                            state.params)
@@ -115,6 +117,8 @@ def make_train_step(loss_fn, remat: bool = False):
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   batch_stats=new_bs, opt_state=new_opt)
         metrics = {"loss": loss, **aux}
+        if with_output:
+            metrics["output"] = nchw
         return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,))

@@ -77,9 +77,9 @@ def validate(cfg, dataset, model, variables, output_dir="",
     idx = 0
     accs, t0 = [], time.time()
 
-    for batch in epoch_loader(dataset, batch_size, shuffle=False,
-                              drop_last=False, shard_index=shard_index,
-                              num_shards=num_shards):
+    for n_batch, batch in enumerate(epoch_loader(
+            dataset, batch_size, shuffle=False, drop_last=False,
+            shard_index=shard_index, num_shards=num_shards)):
         bs = batch["image"].shape[0]
         pad = batch_size - bs
         images = batch["image"]
@@ -96,11 +96,20 @@ def validate(cfg, dataset, model, variables, output_dir="",
 
         if "target" in batch:
             if cfg.MODEL.TARGET_TYPE == "offset":
-                _, avg_acc, cnt, _ = pck_accuracy(hm_np[:, ::3],
-                                                  batch["target"][:, ::3])
+                hm_j, tgt_j = hm_np[:, ::3], batch["target"][:, ::3]
             else:
-                _, avg_acc, cnt, _ = pck_accuracy(hm_np, batch["target"])
+                hm_j, tgt_j = hm_np, batch["target"]
+            _, avg_acc, cnt, pred_hm = pck_accuracy(hm_j, tgt_j)
             accs.append((avg_acc, cnt))
+            if cfg.DEBUG.DEBUG and n_batch % cfg.PRINT_FREQ == 0 and \
+                    output_dir:
+                # reference wires this at function.py:219 (val prefix);
+                # pred joints at heatmap-argmax ×stride in crop space
+                from ..utils.vis import save_debug_images
+                save_debug_images(
+                    cfg, batch["image"], batch.get("joints"),
+                    batch.get("joints_vis"), tgt_j, hm_j,
+                    f"{output_dir}/val_{n_batch}", pred_joints=pred_hm * 4)
 
         row_preds = np.zeros((bs, J, 3), np.float32)
         row_preds[:, :, 0:2] = preds

@@ -217,8 +217,40 @@ def collate(samples):
     return batch
 
 
+def grouped_batch_indices(sampled_ids, group_ids, batch_size,
+                          drop_uneven=False):
+    """Aspect-ratio grouped batching (parity: RSN/cvpack/dataset/
+    torch_samplers/grouped_batch_sampler.py:62-124): each batch is drawn
+    from ONE group, groups preserve the sampler's order internally, and
+    batches are sorted by the sampler position of their first element."""
+    sampled_ids = np.asarray(sampled_ids)
+    group_ids = np.asarray(group_ids)
+    pos = {int(v): i for i, v in enumerate(sampled_ids)}
+    merged = []
+    for g in np.unique(group_ids):
+        members = [i for i in sampled_ids if group_ids[i] == g]
+        for s in range(0, len(members), batch_size):
+            merged.append(members[s:s + batch_size])
+    merged.sort(key=lambda b: pos[int(b[0])])
+    if drop_uneven:
+        merged = [b for b in merged if len(b) == batch_size]
+    return merged
+
+
+def aspect_ratio_group_ids(dataset, bins=(1.0,)):
+    """Quantised h/w group id per db record (grouped_batch_sampler.py:
+    11-25; the reference bins at aspect 1)."""
+    import bisect
+    ids = []
+    for rec in dataset.db:
+        s = rec["scale"]
+        ratio = float(s[1]) / max(float(s[0]), 1e-9)
+        ids.append(bisect.bisect_right(sorted(bins), ratio))
+    return np.asarray(ids)
+
+
 def epoch_loader(dataset, batch_size, shuffle=True, seed=0, drop_last=True,
-                 shard_index=0, num_shards=1):
+                 shard_index=0, num_shards=1, group_ids=None):
     """Epoch-seeded sharded batch iterator.
 
     Replaces the reference's DataLoader + DistributedSampler
@@ -234,6 +266,11 @@ def epoch_loader(dataset, batch_size, shuffle=True, seed=0, drop_last=True,
         total = ((n + num_shards - 1) // num_shards) * num_shards
         idx = np.concatenate([idx, idx[: total - n]])
         idx = idx[shard_index::num_shards]
+    if group_ids is not None:
+        for chunk in grouped_batch_indices(idx, group_ids, batch_size,
+                                           drop_uneven=drop_last):
+            yield collate([dataset[int(i)] for i in chunk])
+        return
     end = (len(idx) // batch_size) * batch_size if drop_last else len(idx)
     for start in range(0, end, batch_size):
         chunk = idx[start:start + batch_size]

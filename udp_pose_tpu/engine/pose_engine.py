@@ -61,7 +61,8 @@ class UdpPosePipeline:
         self.model = build_model(cfg)
         self.variables = self._load_weights(weights)
         self._flip = (cfg.TEST.FLIP_TEST if flip_test is None else flip_test)
-        self._infer_cache = {}
+        # ONE jitted closure; jax.jit caches per padded-bucket shape
+        self._infer = None
 
     def _load_weights(self, weights):
         import jax
@@ -151,12 +152,12 @@ class UdpPosePipeline:
                     np.zeros((0, self.num_joints, 1), np.float32))
         center, scale = xyxy_to_cs(boxes[:, :4], self.input_wh)
         bucket = _next_bucket(n)
-        if bucket not in self._infer_cache:
-            self._infer_cache[bucket] = self._build_infer()
+        if self._infer is None:
+            self._infer = self._build_infer()
         pad = bucket - n
         center_p = np.concatenate([center, np.tile(center[:1], (pad, 1))])
         scale_p = np.concatenate([scale, np.tile(scale[:1], (pad, 1))])
-        preds, maxvals = self._infer_cache[bucket](
+        preds, maxvals = self._infer(
             self.variables, jnp.asarray(img), center_p, scale_p)
         return np.asarray(preds)[:n], np.asarray(maxvals)[:n]
 

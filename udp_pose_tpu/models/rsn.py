@@ -367,6 +367,7 @@ def rsn_from_cfg(cfg):
         output_chl_num=cfg.MODEL.NUM_JOINTS,
         output_shape=(h, w),
         upsample_chl_num=extra.get("UPSAMPLE_CHANNEL_NUM", 256),
+        layers=tuple(extra.get("LAYERS", (2, 2, 2, 2))),
         plain=extra.get("PLAIN_BOTTLENECK", False),
         se=extra.get("USE_SE", False),
         # the reference SE/PRM experiment couples these with USE_SE

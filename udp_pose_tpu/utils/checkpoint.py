@@ -41,6 +41,47 @@ def save_checkpoint(output_dir, state, epoch, perf, is_best=False):
         save_weights(out / "model_best.msgpack", state)
 
 
+def save_iter_checkpoint(output_dir, state, iteration):
+    """RSN iteration-checkpoint semantics (engine.py:162-169):
+    ``iter-<N>.msgpack`` plus an ``iter-last.msgpack`` symlink."""
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    payload = {
+        "iteration": int(iteration),
+        "state": serialization.to_state_dict(
+            _to_host({"params": state.params,
+                      "batch_stats": state.batch_stats,
+                      "opt_state": state.opt_state,
+                      "step": state.step})),
+    }
+    name = f"iter-{int(iteration)}.msgpack"
+    with open(out / name, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+    link = out / "iter-last.msgpack"
+    if link.is_symlink() or link.exists():
+        link.unlink()
+    link.symlink_to(name)
+    return str(out / name)
+
+
+def load_iter_checkpoint(output_dir, state):
+    """Resume from iter-last.msgpack; returns (state, iteration) or
+    (state, 0)."""
+    ckpt = Path(output_dir) / "iter-last.msgpack"
+    if not ckpt.exists():
+        return state, 0
+    with open(ckpt, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    tpl = {"params": state.params, "batch_stats": state.batch_stats,
+           "opt_state": state.opt_state, "step": state.step}
+    restored = serialization.from_state_dict(tpl, payload["state"])
+    state = state.replace(params=restored["params"],
+                          batch_stats=restored["batch_stats"],
+                          opt_state=restored["opt_state"],
+                          step=restored["step"])
+    return state, int(payload["iteration"]) + 1
+
+
 def save_weights(path, state):
     blob = serialization.msgpack_serialize(serialization.to_state_dict(
         _to_host({"params": state.params, "batch_stats": state.batch_stats})))

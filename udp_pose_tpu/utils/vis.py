@@ -78,14 +78,19 @@ def save_batch_heatmaps(batch_image, batch_heatmaps, file_name,
 
 
 def save_debug_images(cfg, images, joints, joints_vis, target, output,
-                      prefix):
-    """Parity: vis.py:119-142 (DEBUG.* gating)."""
+                      prefix, pred_joints=None):
+    """Parity: vis.py:119-142 (DEBUG.* gating).  ``pred_joints`` are
+    predicted joints in input-crop space (the reference passes
+    preds_in_input_space, function.py:219)."""
     if not cfg.DEBUG.DEBUG:
         return
     os.makedirs(os.path.dirname(prefix) or ".", exist_ok=True)
     if cfg.DEBUG.SAVE_BATCH_IMAGES_GT:
         save_batch_image_with_joints(images, joints, joints_vis,
                                      f"{prefix}_gt.jpg")
+    if cfg.DEBUG.SAVE_BATCH_IMAGES_PRED and pred_joints is not None:
+        save_batch_image_with_joints(images, pred_joints, joints_vis,
+                                     f"{prefix}_pred.jpg")
     if cfg.DEBUG.SAVE_HEATMAPS_GT:
         save_batch_heatmaps(images, target, f"{prefix}_hm_gt.jpg")
     if cfg.DEBUG.SAVE_HEATMAPS_PRED:
