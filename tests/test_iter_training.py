@@ -1,0 +1,103 @@
+"""Iteration-based RSN training recipe (VERDICT r1 #10).
+
+Drives the REAL tools/train.py CLI on CPU with TRAIN.MAX_ITER set:
+ * iteration scaling — iters × (8-GPU baseline / device width)
+   (RSN/exps/RSN18.coco/train.py:36-38),
+ * iter-<N>.msgpack checkpoints + iter-last.msgpack symlink
+   (engine.py:162-169),
+ * AUTO_RESUME picks up at the last iteration checkpoint.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+from ref_harness import make_mini_coco
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CFG_YAML = """
+OUTPUT_DIR: {out}
+AUTO_RESUME: true
+PRINT_FREQ: 2
+WORKERS: 0
+DATASET:
+  DATASET: coco
+  ROOT: {root}
+  TRAIN_SET: val2017
+  TEST_SET: val2017
+MODEL:
+  NAME: rsn
+  TARGET_TYPE: gaussian
+  IMAGE_SIZE: [64, 64]
+  HEATMAP_SIZE: [16, 16]
+  NUM_JOINTS: 17
+  INIT_WEIGHTS: false
+  EXTRA:
+    STAGE_NUM: 1
+    UPSAMPLE_CHANNEL_NUM: 32
+    LAYERS: [1, 1, 1, 1]
+TPU:
+  DTYPE: float32
+TRAIN:
+  BATCH_SIZE_PER_GPU: 2
+  MAX_ITER: 12
+  CHECKPOINT_PERIOD: 4
+  WARMUP_ITERS: 2
+  ITER_BASELINE_DEVICES: 1
+  LR: 0.0005
+TEST:
+  BATCH_SIZE_PER_GPU: 2
+  USE_GT_BBOX: true
+  FLIP_TEST: false
+"""
+
+
+def _run(cfg_file, timeout=560):
+    # conftest exports an 8-virtual-device XLA flag; the CLI under test
+    # must see ONE device (the iteration scaling math keys off width)
+    env = dict(os.environ, UDP_POSE_PLATFORM="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1")
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "train.py"),
+         "--cfg", cfg_file],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=timeout)
+    assert p.returncode == 0, (p.stdout[-2000:], p.stderr[-3000:])
+    return p.stdout + p.stderr
+
+
+def _run_dir(out):
+    for dirpath, _d, files in os.walk(out):
+        if any(f.startswith("iter-") for f in files):
+            return dirpath
+    raise FileNotFoundError(out)
+
+
+def test_rsn_iteration_training_and_resume(tmp_path):
+    root = str(tmp_path / "data")
+    make_mini_coco(root, n_images=2, seed=5)
+    out = str(tmp_path / "run")
+    cfg_file = str(tmp_path / "exp.yaml")
+    with open(cfg_file, "w") as f:
+        f.write(CFG_YAML.format(out=out, root=root))
+
+    text = _run(cfg_file)
+    run_dir = _run_dir(out)
+    files = sorted(os.listdir(run_dir))
+    # device width 1, baseline 1 → 12 iters, ckpt every 4
+    assert "iter-3.msgpack" in files and "iter-7.msgpack" in files, files
+    assert "iter-11.msgpack" in files, files
+    link = os.path.join(run_dir, "iter-last.msgpack")
+    assert os.path.islink(link)
+    assert os.readlink(link) == "iter-11.msgpack"
+    assert "iteration mode: 12 iters" in text
+
+    # resume: drop the last checkpoint, rerun → continues from iter-8
+    os.remove(os.path.join(run_dir, "iter-11.msgpack"))
+    os.remove(link)
+    os.symlink("iter-7.msgpack", link)
+    text2 = _run(cfg_file)
+    assert "resumed at iteration 8" in text2
+    assert os.path.exists(os.path.join(run_dir, "iter-11.msgpack"))

@@ -6,8 +6,14 @@ exports the jitted forward to **StableHLO** (the portable XLA interchange
 format; consumable by ONNX converters, IREE, TF, serving runtimes) and
 asserts jit-vs-eager output parity in the same spirit.
 
+With ``--format pth`` it instead emits a reference-format torch
+state_dict (utils/torch_convert.flax_to_torch_from_cfg) — loadable with
+``strict=True`` by the reference models, so the reference's own
+torch→ONNX/MNN/OpenVINO tooling (tools/export.py:21-56,
+scripts/export_mnn.sh) covers the non-TPU deployment surface.
+
 Usage: python tools/export.py --cfg exp.yaml [--weights w.msgpack]
-       [--batch 1] [--out model.stablehlo]
+       [--batch 1] [--out model.stablehlo] [--format stablehlo|pth]
 """
 
 from __future__ import annotations
@@ -27,6 +33,8 @@ def parse_args():
     p.add_argument("--weights", default="")
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--out", default="")
+    p.add_argument("--format", default="stablehlo",
+                   choices=("stablehlo", "pth"))
     p.add_argument("opts", nargs=argparse.REMAINDER)
     return p.parse_args()
 
@@ -53,6 +61,17 @@ def main():
         variables = jax.jit(lambda r: model.init(
             r, jnp.zeros((1, h, w, 3), jnp.float32), train=False)
         )(jax.random.PRNGKey(0))
+
+    if args.format == "pth":
+        import torch
+        from udp_pose_tpu.utils.torch_convert import flax_to_torch_from_cfg
+        sd = flax_to_torch_from_cfg(variables, cfg)
+        out_path = args.out or os.path.splitext(args.cfg)[0] + ".pth"
+        torch.save({k: torch.tensor(np.asarray(v)) for k, v in sd.items()},
+                   out_path)
+        print(f"exported reference-format state_dict "
+              f"({len(sd)} tensors) -> {out_path}")
+        return
 
     def fwd(images):
         return model.apply(variables, images, train=False)

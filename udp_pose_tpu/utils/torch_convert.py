@@ -55,16 +55,68 @@ def _set(tree, path, value):
     node[path[-1]] = np.asarray(value)
 
 
-class Converter:
-    """Accumulates (flax_path ← torch_key) assignments into variables."""
+def _get(tree, path):
+    node = tree
+    for p in path:
+        node = node[p]
+    return np.asarray(node)
 
-    def __init__(self, sd: Dict[str, np.ndarray]):
-        self.sd = sd
-        self.params: dict = {}
-        self.stats: dict = {}
+
+def _has(tree, path):
+    node = tree
+    for p in path:
+        if not isinstance(node, dict) and not hasattr(node, "keys"):
+            return False
+        if p not in node:
+            return False
+        node = node[p]
+    return True
+
+
+def conv_kernel_inv(k):
+    """flax (kh,kw,I,O) → torch Conv2d (O,I,kh,kw)."""
+    return np.ascontiguousarray(np.transpose(k, (3, 2, 0, 1)))
+
+
+def convT_kernel_inv(k):
+    """flax (kh,kw,I,O) → torch ConvTranspose2d (I,O,kh,kw)."""
+    return np.ascontiguousarray(
+        np.transpose(k, (2, 3, 0, 1))[:, :, ::-1, ::-1])
+
+
+class Converter:
+    """Bidirectional (flax_path ↔ torch_key) copier.
+
+    Forward (default): reads a torch state_dict, builds flax variables.
+    Reverse (``reverse=True`` + ``variables``): walks the SAME family
+    mapping code and emits a reference-format torch state_dict instead —
+    the export path that lets the reference's own ONNX tooling consume
+    models trained here.
+    """
+
+    def __init__(self, sd: Dict[str, np.ndarray], variables=None,
+                 reverse: bool = False):
+        self.reverse = reverse
+        self.sd = dict(sd) if reverse else sd
+        self.params = (variables["params"] if reverse else {})
+        self.stats = (variables.get("batch_stats", {}) if reverse else {})
         self.used = set()
 
+    def probe(self, tkey: str, *fpath) -> bool:
+        """Structural probe: torch-key presence (forward) or the
+        corresponding flax-path presence (reverse)."""
+        if self.reverse:
+            return _has(self.params, fpath)
+        return tkey in self.sd
+
     def conv(self, tkey: str, *path, transposed=False, bias=False):
+        if self.reverse:
+            k = _get(self.params, (*path, "kernel"))
+            self.sd[tkey + ".weight"] = (convT_kernel_inv(k) if transposed
+                                         else conv_kernel_inv(k))
+            if _has(self.params, (*path, "bias")):
+                self.sd[tkey + ".bias"] = _get(self.params, (*path, "bias"))
+            return
         w = self.sd[tkey + ".weight"]
         self.used.add(tkey + ".weight")
         kernel = convT_kernel(w) if transposed else conv_kernel(w)
@@ -75,18 +127,47 @@ class Converter:
                 self.used.add(tkey + ".bias")
 
     def bn(self, tkey: str, *path):
-        for tsuf, (tree, fsuf) in {
-            "weight": (self.params, "scale"), "bias": (self.params, "bias"),
-            "running_mean": (self.stats, "mean"),
-            "running_var": (self.stats, "var"),
-        }.items():
+        pairs = {"weight": (self.params, "scale"),
+                 "bias": (self.params, "bias"),
+                 "running_mean": (self.stats, "mean"),
+                 "running_var": (self.stats, "var")}
+        if self.reverse:
+            for tsuf, (tree, fsuf) in pairs.items():
+                self.sd[f"{tkey}.{tsuf}"] = _get(tree, (*path, fsuf))
+            self.sd[f"{tkey}.num_batches_tracked"] = np.array(0, np.int64)
+            return
+        for tsuf, (tree, fsuf) in pairs.items():
             _set(tree, (*path, fsuf), self.sd[f"{tkey}.{tsuf}"])
             self.used.add(f"{tkey}.{tsuf}")
 
-    def ln(self, tkey: str, *path):
+    def ln(self, tkey: str, *path, tshape=None):
+        """``tshape``: torch normalized_shape when not 1-D (e.g. the PSA
+        LayerNorm([C,1,1]), PSA.py:164)."""
+        if self.reverse:
+            w = _get(self.params, (*path, "scale"))
+            b = _get(self.params, (*path, "bias"))
+            if tshape == "c11":
+                w, b = w.reshape(-1, 1, 1), b.reshape(-1, 1, 1)
+            self.sd[tkey + ".weight"] = w
+            self.sd[tkey + ".bias"] = b
+            return
         _set(self.params, (*path, "scale"), self.sd[tkey + ".weight"].reshape(-1))
         _set(self.params, (*path, "bias"), self.sd[tkey + ".bias"].reshape(-1))
         self.used.update({tkey + ".weight", tkey + ".bias"})
+
+    def dense(self, tkey: str, *path):
+        """torch Linear weight (O,I) ↔ flax Dense kernel (I,O)."""
+        if self.reverse:
+            self.sd[tkey + ".weight"] = np.ascontiguousarray(
+                _get(self.params, (*path, "kernel")).T)
+            if _has(self.params, (*path, "bias")):
+                self.sd[tkey + ".bias"] = _get(self.params, (*path, "bias"))
+            return
+        _set(self.params, (*path, "kernel"), self.sd[f"{tkey}.weight"].T)
+        self.used.add(f"{tkey}.weight")
+        if f"{tkey}.bias" in self.sd:
+            _set(self.params, (*path, "bias"), self.sd[f"{tkey}.bias"])
+            self.used.add(f"{tkey}.bias")
 
     def variables(self):
         return {"params": self.params, "batch_stats": self.stats}
@@ -103,7 +184,7 @@ def _convert_psa(cv: Converter, tprefix: str, *path):
                  "conv_v_left"):
         cv.conv(f"{tprefix}.{name}", *path, name)
     cv.conv(f"{tprefix}.conv_up.0", *path, "conv_up_fc1")
-    cv.ln(f"{tprefix}.conv_up.1", *path, "conv_up_ln")
+    cv.ln(f"{tprefix}.conv_up.1", *path, "conv_up_ln", tshape="c11")
     cv.conv(f"{tprefix}.conv_up.3", *path, "conv_up_fc2")
 
 
@@ -112,9 +193,10 @@ def _convert_basic_block(cv, tprefix, fpath, psa=False):
     cv.bn(f"{tprefix}.bn1", *fpath, "cb1", "bn")
     cv.conv(f"{tprefix}.conv2", *fpath, "cb2", "conv")
     cv.bn(f"{tprefix}.bn2", *fpath, "cb2", "bn")
-    if psa and f"{tprefix}.deattn.conv_q_right.weight" in cv.sd:
+    if psa and cv.probe(f"{tprefix}.deattn.conv_q_right.weight",
+                        *fpath, "deattn"):
         _convert_psa(cv, f"{tprefix}.deattn", *fpath, "deattn")
-    if f"{tprefix}.downsample.0.weight" in cv.sd:
+    if cv.probe(f"{tprefix}.downsample.0.weight", *fpath, "down"):
         cv.conv(f"{tprefix}.downsample.0", *fpath, "down", "conv")
         cv.bn(f"{tprefix}.downsample.1", *fpath, "down", "bn")
 
@@ -123,7 +205,7 @@ def _convert_bottleneck(cv, tprefix, fpath):
     for i in (1, 2, 3):
         cv.conv(f"{tprefix}.conv{i}", *fpath, f"cb{i}", "conv")
         cv.bn(f"{tprefix}.bn{i}", *fpath, f"cb{i}", "bn")
-    if f"{tprefix}.downsample.0.weight" in cv.sd:
+    if cv.probe(f"{tprefix}.downsample.0.weight", *fpath, "down"):
         cv.conv(f"{tprefix}.downsample.0", *fpath, "down", "conv")
         cv.bn(f"{tprefix}.downsample.1", *fpath, "down", "bn")
 
@@ -132,10 +214,15 @@ def convert_pose_resnet(sd: Dict[str, np.ndarray], num_layers: int,
                         psa: bool = False):
     """pose_resnet[_psa] state_dict → flax variables
     (reference lib/models/pose_resnet.py structure)."""
+    cv = Converter(sd)
+    _map_pose_resnet(cv, num_layers, psa)
+    return cv.variables(), cv.unused()
+
+
+def _map_pose_resnet(cv: Converter, num_layers: int, psa: bool = False):
     from ..models.resnet import RESNET_SPEC
     block_cls, layers = RESNET_SPEC[num_layers]
     bottleneck = num_layers >= 50
-    cv = Converter(sd)
     cv.conv("conv1", "backbone", "conv1")
     cv.bn("bn1", "backbone", "bn1")
     for li, blocks in enumerate(layers):
@@ -148,14 +235,13 @@ def convert_pose_resnet(sd: Dict[str, np.ndarray], num_layers: int,
                 _convert_basic_block(cv, tp, fp, psa=psa)
     i = 0
     di = 0
-    while f"deconv_layers.{i}.weight" in sd:
+    while cv.probe(f"deconv_layers.{i}.weight", "deconv", f"deconv{di}"):
         cv.conv(f"deconv_layers.{i}", "deconv", f"deconv{di}",
                 transposed=True)
         cv.bn(f"deconv_layers.{i + 1}", "deconv", f"bn{di}")
         i += 3
         di += 1
     cv.conv("final_layer", "final_layer")
-    return cv.variables(), cv.unused()
 
 
 def convert_pose_hrnet(sd: Dict[str, np.ndarray], stages_cfg,
@@ -164,6 +250,11 @@ def convert_pose_hrnet(sd: Dict[str, np.ndarray], stages_cfg,
     (reference lib/models/pose_hrnet.py structure; stages_cfg from
     models.hrnet.stage_cfg)."""
     cv = Converter(sd)
+    _map_pose_hrnet(cv, stages_cfg, psa)
+    return cv.variables(), cv.unused()
+
+
+def _map_pose_hrnet(cv: Converter, stages_cfg, psa: bool = False):
     cv.conv("conv1", "stem1", "conv")
     cv.bn("bn1", "stem1", "bn")
     cv.conv("conv2", "stem2", "conv")
@@ -175,13 +266,14 @@ def convert_pose_hrnet(sd: Dict[str, np.ndarray], stages_cfg,
     for si, (num_modules, nb, block, num_blocks, _) in enumerate(stages_cfg):
         t = si + 1  # transition index
         for i in range(nb):
-            if f"transition{t}.{i}.0.weight" in sd:
+            if cv.probe(f"transition{t}.{i}.0.weight", f"transition{t}_{i}"):
                 # single Sequential(Conv,BN,ReLU): channel-change branch
                 cv.conv(f"transition{t}.{i}.0", f"transition{t}_{i}", "conv")
                 cv.bn(f"transition{t}.{i}.1", f"transition{t}_{i}", "bn")
             else:
                 j = 0
-                while f"transition{t}.{i}.{j}.0.weight" in sd:
+                while cv.probe(f"transition{t}.{i}.{j}.0.weight",
+                               f"transition{t}_{i}_{j}"):
                     cv.conv(f"transition{t}.{i}.{j}.0",
                             f"transition{t}_{i}_{j}", "conv")
                     cv.bn(f"transition{t}.{i}.{j}.1",
@@ -203,22 +295,24 @@ def convert_pose_hrnet(sd: Dict[str, np.ndarray], stages_cfg,
             for i in range(nb):
                 for j in range(nb):
                     base = f"{tmod}.fuse_layers.{i}.{j}"
-                    if j > i and f"{base}.0.weight" in sd:
+                    if j > i and cv.probe(f"{base}.0.weight",
+                                          fmod, f"fuse{i}_{j}"):
                         cv.conv(f"{base}.0", fmod, f"fuse{i}_{j}")
                         cv.bn(f"{base}.1", fmod, f"fuse{i}_{j}_bn")
-                    elif j == i and f"{base}.0.weight" in sd:
+                    elif j == i and cv.probe(f"{base}.0.weight",
+                                             fmod, f"fuse{i}_{j}"):
                         # last-module widening 1x1 (no BN)
                         cv.conv(f"{base}.0", fmod, f"fuse{i}_{j}")
                     elif j < i:
                         k = 0
-                        while f"{base}.{k}.0.weight" in sd:
+                        while cv.probe(f"{base}.{k}.0.weight",
+                                       fmod, f"fuse{i}_{j}_{k}"):
                             cv.conv(f"{base}.{k}.0", fmod, f"fuse{i}_{j}_{k}")
                             cv.bn(f"{base}.{k}.1", fmod,
                                   f"fuse{i}_{j}_{k}_bn")
                             k += 1
         n_prev = nb
     cv.conv("final_layer", "final_layer")
-    return cv.variables(), cv.unused()
 
 
 def _convert_cbr(cv: Converter, tprefix: str, *path, has_bn=True):
@@ -238,7 +332,13 @@ def convert_rsn(sd: Dict[str, np.ndarray], stage_num: int,
     always uses has_bn=True, so every bn maps.
     """
     cv = Converter(sd)
-    if "top.conv.0.conv.weight" in sd:
+    _map_rsn(cv, stage_num, layers, plain, se, prm)
+    return cv.variables(), cv.unused()
+
+
+def _map_rsn(cv: Converter, stage_num: int,
+             layers=(2, 2, 2, 2), plain=False, se=False, prm=False):
+    if cv.probe("top.conv.0.conv.weight", "top_conv0"):
         # SE/PRM experiment 3-conv stem (its network.py:188-202)
         for i in range(3):
             _convert_cbr(cv, f"top.conv.{i}", f"top_conv{i}")
@@ -263,15 +363,11 @@ def convert_rsn(sd: Dict[str, np.ndarray], stage_num: int,
                         tname = s.replace("cbr", "conv_bn_relu")
                         _convert_cbr(cv, f"{tb}.{tname}", *fb, s)
                     _convert_cbr(cv, f"{tb}.conv_bn_relu3", *fb, "cbr3")
-                if f"{tb}.downsample.conv.weight" in sd:
+                if cv.probe(f"{tb}.downsample.conv.weight", *fb, "down"):
                     _convert_cbr(cv, f"{tb}.downsample", *fb, "down")
-                if se and f"{tb}.se.fc.0.weight" in sd:
-                    _set(cv.params, (*fb, "se", "fc1", "kernel"),
-                         sd[f"{tb}.se.fc.0.weight"].T)
-                    _set(cv.params, (*fb, "se", "fc2", "kernel"),
-                         sd[f"{tb}.se.fc.2.weight"].T)
-                    cv.used.update({f"{tb}.se.fc.0.weight",
-                                    f"{tb}.se.fc.2.weight"})
+                if se and cv.probe(f"{tb}.se.fc.0.weight", *fb, "se"):
+                    cv.dense(f"{tb}.se.fc.0", *fb, "se", "fc1")
+                    cv.dense(f"{tb}.se.fc.2", *fb, "se", "fc2")
         tu = f"stage{si}.upsample"
         fu = f"stage{si}_up"
         for ui in range(1, 5):
@@ -282,12 +378,13 @@ def convert_rsn(sd: Dict[str, np.ndarray], stage_num: int,
                 _convert_cbr(cv, f"{tup}.up_conv", *fup, "up_conv")
             _convert_cbr(cv, f"{tup}.res_conv1", *fup, "res_conv1")
             _convert_cbr(cv, f"{tup}.res_conv2", *fup, "res_conv2")
-            if f"{tup}.skip1.conv.weight" in sd:
+            if cv.probe(f"{tup}.skip1.conv.weight", *fup, "skip1"):
                 _convert_cbr(cv, f"{tup}.skip1", *fup, "skip1")
                 _convert_cbr(cv, f"{tup}.skip2", *fup, "skip2")
-            if f"{tup}.cross_conv.conv.weight" in sd:
+            if cv.probe(f"{tup}.cross_conv.conv.weight", *fup, "cross_conv"):
                 _convert_cbr(cv, f"{tup}.cross_conv", *fup, "cross_conv")
-            if prm and f"{tup}.prm.conv_bn_relu_prm_1.conv.weight" in sd:
+            if prm and cv.probe(f"{tup}.prm.conv_bn_relu_prm_1.conv.weight",
+                                *fup, "prm"):
                 names = {"conv_bn_relu_prm_1": "prm1",
                          "conv_bn_relu_prm_2_1": "prm2_1",
                          "conv_bn_relu_prm_2_2": "prm2_2",
@@ -295,7 +392,58 @@ def convert_rsn(sd: Dict[str, np.ndarray], stage_num: int,
                          "conv_bn_relu_prm_3_2": "prm3_2"}
                 for tn, fn in names.items():
                     _convert_cbr(cv, f"{tup}.prm.{tn}", *fup, "prm", fn)
-    return cv.variables(), cv.unused()
+
+
+def flax_to_torch(variables, family: str, **kwargs) -> Dict[str, np.ndarray]:
+    """REVERSE conversion: flax variables → reference-format torch
+    state_dict (numpy values).  Walks the same family mapping code as the
+    forward converters with structural probes answered from the flax tree,
+    so ``torch_model.load_state_dict(strict=True)`` accepts the result —
+    this is the portable-export bridge (a .pth the reference's own
+    tools/export.py:21-56 can ONNX-ify).
+
+    families: pose_resnet[_psa] (num_layers=), pose_hrnet[_psa]
+    (stages_cfg=), rsn (stage_num=, layers=, plain=, se=, prm=).
+    """
+    cv = Converter({}, variables=variables, reverse=True)
+    if family in ("pose_resnet", "pose_resnet_psa"):
+        _map_pose_resnet(cv, kwargs["num_layers"],
+                         psa=family.endswith("_psa"))
+    elif family in ("pose_hrnet", "pose_hrnet_psa"):
+        _map_pose_hrnet(cv, kwargs["stages_cfg"],
+                        psa=family.endswith("_psa"))
+    elif family == "rsn":
+        _map_rsn(cv, kwargs["stage_num"],
+                 layers=tuple(kwargs.get("layers", (2, 2, 2, 2))),
+                 plain=kwargs.get("plain", False),
+                 se=kwargs.get("se", False), prm=kwargs.get("prm", False))
+    else:
+        raise KeyError(f"no reverse mapping for family {family!r}")
+    return cv.sd
+
+
+def flax_to_torch_from_cfg(variables, cfg) -> Dict[str, np.ndarray]:
+    """flax_to_torch with the family arguments derived from a config."""
+    name = cfg.MODEL.NAME
+    extra = cfg.MODEL.EXTRA
+    if name in ("pose_resnet", "pose_resnet_psa"):
+        return flax_to_torch(variables, name, num_layers=extra.NUM_LAYERS)
+    if name in ("pose_hrnet", "pose_hrnet_psa"):
+        from ..models.hrnet import stage_cfg
+        stages = tuple(
+            stage_cfg(extra[k]["NUM_MODULES"], extra[k]["NUM_BRANCHES"],
+                      extra[k]["BLOCK"], extra[k]["NUM_BLOCKS"],
+                      extra[k]["NUM_CHANNELS"])
+            for k in ("STAGE2", "STAGE3", "STAGE4"))
+        return flax_to_torch(variables, name, stages_cfg=stages)
+    if name == "rsn":
+        return flax_to_torch(
+            variables, "rsn", stage_num=extra.get("STAGE_NUM", 1),
+            layers=extra.get("LAYERS", (2, 2, 2, 2)),
+            plain=extra.get("PLAIN_BOTTLENECK", False),
+            se=extra.get("USE_SE", False),
+            prm=extra.get("USE_PRM", False))
+    raise KeyError(f"no reverse mapping for model {name!r}")
 
 
 def _convert_se_hardsigmoid(cv: Converter, tprefix: str, *path):
