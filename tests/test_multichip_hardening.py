@@ -1,0 +1,95 @@
+"""Multichip hardening (VERDICT r1 #7): HRNet-w32 branch/fuse topology with
+multi-module stages compiled and run on the 8-device CPU mesh for THREE
+steps, with:
+
+  * step-1 loss identical to the single-device run (same init, same batch,
+    full-batch BN both ways) and later steps within the float-noise
+    envelope (cross-partition reduction order reorders sums; measured
+    amplification through adam+BN reaches ~3e-3 by step 3),
+  * a sharded checkpoint saved mid-run and restored onto a differently
+    shaped mesh (8 → 4 devices), continuing to the SAME step-3 loss to
+    ~1e-6 — restore/reshape is exact.
+
+Module counts are (1,2,2) rather than the flagship (1,4,3): the GSPMD
+patterns of repeated modules are identical, and the full counts push
+XLA-CPU fwd+bwd compile past 20 minutes (measured) for zero extra
+coverage.  Spatial size is 64×64 for the same reason; the topology
+(branches, fuse wiring, transitions, offset head) is complete.
+This is still the slowest test in the suite (~4-6 min).
+"""
+
+import numpy as np
+import pytest
+
+from __graft_entry__ import _hrnet_w32_cfg
+
+
+def _w32_multimodule_small():
+    cfg = _hrnet_w32_cfg((64, 64), (16, 16), dtype="float32")
+    cfg.MODEL.EXTRA["STAGE3"]["NUM_MODULES"] = 2
+    cfg.MODEL.EXTRA["STAGE4"]["NUM_MODULES"] = 2
+    return cfg
+
+
+def _batch(n=8):
+    rng = np.random.default_rng(7)
+    return {
+        "image": rng.uniform(-1, 1, (n, 64, 64, 3)).astype(np.float32),
+        "target": rng.uniform(0, 1, (n, 51, 16, 16)).astype(np.float32),
+        "target_weight": np.ones((n, 17), np.float32),
+    }
+
+
+def test_sharded_trajectory_and_mesh_reshape(tmp_path):
+    import jax
+    from udp_pose_tpu.core.loss import make_loss_fn
+    from udp_pose_tpu.core.train import create_train_state, make_train_step
+    from udp_pose_tpu.models import build_model
+    from udp_pose_tpu.parallel import make_mesh, replicated, shard_batch
+    from udp_pose_tpu.utils.checkpoint import (load_checkpoint,
+                                               save_checkpoint)
+
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    cfg = _w32_multimodule_small()
+    model = build_model(cfg)
+    step = make_train_step(make_loss_fn(cfg))
+    batch = _batch()
+
+    def run(mesh, n_steps, state=None, losses=None):
+        if state is None:
+            state = create_train_state(cfg, model, jax.random.PRNGKey(0),
+                                       steps_per_epoch=10)
+        state = jax.device_put(state, replicated(mesh))
+        db = shard_batch(mesh, batch)
+        losses = losses if losses is not None else []
+        for _ in range(n_steps):
+            state, metrics = step(state, db)
+            losses.append(float(metrics["loss"]))
+        return state, losses
+
+    mesh8 = make_mesh(8, 1, devices=jax.devices()[:8])
+    mesh4 = make_mesh(4, 1, devices=jax.devices()[:4])
+    mesh1 = make_mesh(1, 1, devices=jax.devices()[:1])
+
+    # 8-device run: 2 steps, checkpoint, 1 more step
+    state8, losses8 = run(mesh8, 2)
+    save_checkpoint(tmp_path, state8, epoch=1, perf=0.0)
+    state8, losses8 = run(mesh8, 1, state=state8, losses=losses8)
+    assert len(losses8) == 3 and all(np.isfinite(losses8))
+    assert int(state8.step) == 3
+
+    # single-device trajectory: step 1 identical (same math), later steps
+    # within the measured reduction-order noise envelope
+    _, losses1 = run(mesh1, 3)
+    np.testing.assert_allclose(losses1[0], losses8[0], rtol=1e-6)
+    np.testing.assert_allclose(losses1, losses8, rtol=2e-2)
+
+    # restore the sharded checkpoint onto a DIFFERENTLY shaped mesh and
+    # continue — step-3 loss must match the 8-device trajectory tightly
+    fresh = create_train_state(cfg, model, jax.random.PRNGKey(1),
+                               steps_per_epoch=10)
+    restored, epoch, _perf = load_checkpoint(tmp_path, fresh)
+    assert epoch == 2
+    assert int(restored.step) == 2
+    _, cont = run(mesh4, 1, state=restored)
+    np.testing.assert_allclose(cont[0], losses8[2], rtol=1e-5)

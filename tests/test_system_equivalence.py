@@ -127,11 +127,15 @@ def _capture_evaluate(dataset):
     captured = {}
     orig = dataset.evaluate
 
-    def spy(cfg, preds, output_dir, all_boxes, img_path, *a, **k):
+    def spy(cfg, preds, output_dir, *a, **k):
         captured["preds"] = np.array(preds, copy=True)
-        captured["boxes"] = np.array(all_boxes, copy=True)
-        captured["paths"] = [str(p) for p in img_path]
-        return orig(cfg, preds, output_dir, all_boxes, img_path, *a, **k)
+        if a:
+            captured["boxes"] = np.array(a[0], copy=True)
+        if len(a) > 1:
+            captured["paths"] = [str(p) for p in a[1]]
+        out = orig(cfg, preds, output_dir, *a, **k)
+        captured["nv"] = out
+        return out
 
     dataset.evaluate = spy
     return captured
@@ -268,3 +272,131 @@ def test_gaussian_gtbbox_noflip(tmp_path):
     """pose_resnet18, gaussian decode, GT boxes, flip test OFF."""
     _case(tmp_path, "pose_resnet", "gaussian",
           use_gt_bbox=True, flip=False, extra=RESNET_EXTRA)
+
+
+# ---------------------------------------------------------------------------
+# MPII: the PCKh protocol is scipy-only, so the COMPOSED comparison can
+# include the final name_values numbers exactly (unlike COCO, whose AP
+# needed pycocotools stubbed).
+# ---------------------------------------------------------------------------
+
+MPII_JOINT_NAMES = ["rank", "rkne", "rhip", "lhip", "lkne", "lank", "pelvis",
+                    "thorax", "upperneck", "head", "rwri", "relb", "rsho",
+                    "lsho", "lelb", "lwri"]
+
+
+def _make_mini_mpii(root, n=6, seed=21):
+    import cv2
+    from scipy.io import savemat
+    os.makedirs(os.path.join(root, "annot"), exist_ok=True)
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    rng = np.random.default_rng(seed)
+    anno = []
+    gt_joints = np.zeros((16, 2, n))
+    headboxes = np.zeros((2, 2, n))
+    for i in range(n):
+        name = f"img{i}.jpg"
+        small = rng.integers(0, 255, (9, 9, 3)).astype(np.uint8)
+        cv2.imwrite(os.path.join(root, "images", name),
+                    cv2.resize(small, (300, 300),
+                               interpolation=cv2.INTER_CUBIC))
+        joints = rng.uniform(60, 240, (16, 2))
+        vis = rng.choice([0, 1], 16, p=[0.2, 0.8]).tolist()
+        anno.append({"image": name,
+                     "center": rng.uniform(120, 180, 2).tolist(),
+                     "scale": float(rng.uniform(0.8, 1.4)),
+                     "joints": (joints + 1).tolist(),
+                     "joints_vis": vis})
+        gt_joints[:, :, i] = joints + 1
+        headboxes[0, :, i] = [140, 60]
+        headboxes[1, :, i] = [180, 110]
+    with open(os.path.join(root, "annot", "valid.json"), "w") as f:
+        json.dump(anno, f)
+    savemat(os.path.join(root, "annot", "gt_valid.mat"), {
+        "dataset_joints": np.array([MPII_JOINT_NAMES], dtype=object),
+        "jnt_missing": rng.choice([0, 1], (16, n), p=[0.9, 0.1]),
+        "pos_gt_src": gt_joints,
+        "headboxes_src": headboxes,
+    })
+
+
+def test_mpii_composed_pipeline_equivalence(tmp_path):
+    """Reference validate over MPIIDataset vs ours: all_preds AND the
+    final PCKh name_values (mpii.py:96-181) must agree.
+
+    The model is BRIEFLY TRAINED (flax) so the heatmaps are peaked and
+    every argmax decisive (random-init maps are near-flat and tie), then
+    the SAME weights go to the torch side through the flax→torch reverse
+    converter — which also exercises that export bridge end-to-end."""
+    root = str(tmp_path / "mpii")
+    _make_mini_mpii(root)
+    cfg = _make_cfg("pose_resnet", "gaussian", use_gt_bbox=True, flip=True)
+    cfg.MODEL.EXTRA.merge_from_dict(RESNET_EXTRA)
+    cfg.MODEL.NUM_JOINTS = 16
+    cfg.MODEL.IMAGE_SIZE = [128, 128]
+    cfg.MODEL.HEATMAP_SIZE = [32, 32]
+    cfg.DATASET.DATASET = "mpii"
+    cfg.DATASET.ROOT = root
+    cfg.DATASET.TEST_SET = "valid"
+
+    # ---- train the flax model to peaked heatmaps ------------------------
+    import jax
+    import shutil
+    shutil.copy(os.path.join(root, "annot", "valid.json"),
+                os.path.join(root, "annot", "train.json"))
+    from udp_pose_tpu.core.loss import make_loss_fn
+    from udp_pose_tpu.core.train import (create_train_state, make_train_step,
+                                         normalize_images)
+    from udp_pose_tpu.data.base import epoch_loader
+    from udp_pose_tpu.data.mpii import MPIIDataset
+    from udp_pose_tpu.models import build_model
+    fmodel = build_model(cfg)
+    train_ds = MPIIDataset(cfg, root, "train", True)
+    state = create_train_state(cfg, fmodel, jax.random.PRNGKey(3), 10)
+    step = make_train_step(make_loss_fn(cfg))
+    for ep in range(12):
+        train_ds.seed(ep)
+        for batch in epoch_loader(train_ds, 6, shuffle=True, seed=ep):
+            db = {"image": normalize_images(batch["image"]),
+                  "target": batch["target"],
+                  "target_weight": batch["target_weight"]}
+            state, metrics = step(state, db)
+    assert float(metrics["loss"]) < 0.02   # peaked enough for decisive argmax
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    # ---- identical weights to the torch side (reverse converter) --------
+    from udp_pose_tpu.utils.torch_convert import flax_to_torch
+    install_reference_env()
+    ref_resnet = importlib.import_module("lib.models.pose_resnet")
+    ref_mpii = importlib.import_module("dataset.mpii")
+    ref_function = importlib.import_module("lib.core.function")
+    ref_loss = importlib.import_module("lib.core.loss")
+    tmodel = ref_resnet.get_pose_net(cfg, is_train=False)
+    back = flax_to_torch(variables, "pose_resnet", num_layers=18)
+    tmodel.load_state_dict({k: torch.tensor(np.asarray(v))
+                            for k, v in back.items()
+                            if "num_batches_tracked" not in k}, strict=False)
+
+    ds = ref_mpii.MPIIDataset(cfg, root, "valid", False, RefEvalTransform())
+    loader = torch.utils.data.DataLoader(ds, batch_size=4, shuffle=False,
+                                         num_workers=0)
+    captured_ref = _capture_evaluate(ds)
+    ref_out = str(tmp_path / "ref")
+    os.makedirs(ref_out, exist_ok=True)
+    criterion = ref_loss.JointsMSELoss(use_target_weight=True)
+    ref_function.validate(cfg, loader, ds, tmodel, criterion, ref_out, "",
+                          None)
+    ref_nv = captured_ref["nv"][0]
+
+    from udp_pose_tpu.core.validate import validate
+    ours = MPIIDataset(cfg, root, "valid", False)
+    captured_our = _capture_evaluate(ours)
+    our_nv, _ = validate(cfg, ours, fmodel, variables,
+                         output_dir=str(tmp_path / "ours"))
+
+    coord_err = np.abs(captured_our["preds"][:, :, :2] -
+                       captured_ref["preds"][:, :, :2])
+    assert np.mean(coord_err < 0.05) > 0.95, np.mean(coord_err < 0.05)
+    assert coord_err.max() < 2.0, coord_err.max()
+    for k, v in ref_nv.items():
+        assert our_nv[k] == pytest.approx(float(v), abs=1e-6), k
