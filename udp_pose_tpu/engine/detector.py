@@ -58,11 +58,18 @@ class YoloDetector:
 
 def build_flax_yolo_detector(variant="n", weights=None, input_size=640,
                              conf_thres=0.25, iou_thres=0.45,
-                             person_class=0, max_det=300):
+                             person_class=0, max_det=300,
+                             device_topk=1024):
     """Native YOLOv5 (models/yolov5.py) wrapped as a YoloDetector.
 
     With ``weights=None`` the net is random-initialised (graph-complete;
     detections are noise until converted weights are loaded).
+
+    ``device_topk``: the raw head output is ~25k×85 floats (8.5 MB/frame)
+    — the top-k by objectness is selected ON DEVICE so only k candidates
+    cross to the host for NMS.  Identical results whenever ≤k candidates
+    clear ``conf_thres`` (yolov5n on real scenes yields a few hundred);
+    0 disables the selection.
     """
     import jax
     import jax.numpy as jnp
@@ -76,7 +83,11 @@ def build_flax_yolo_detector(variant="n", weights=None, input_size=640,
 
     @jax.jit
     def model_fn(x):
-        return model.apply(weights, x, train=False)
+        pred = model.apply(weights, x, train=False)
+        if device_topk:        # single-frame path (B=1)
+            _, idx = jax.lax.top_k(pred[0, :, 4], device_topk)
+            pred = pred[0][idx][None]
+        return pred
 
     return YoloDetector(model_fn, input_size, conf_thres, iou_thres,
                         classes=None, person_class=person_class,

@@ -91,7 +91,11 @@ def non_max_suppression(prediction, conf_thres=0.25, iou_thres=0.45,
             x = x[np.argsort(-x[:, 4])[:max_nms]]
         c = x[:, 5:6] * (0 if agnostic else max_wh)
         dets = np.concatenate([x[:, :4] + c, x[:, 4:5]], 1)
-        keep = nms_np(dets, iou_thres, plus_one=False)[:max_det]
+        # native C++ greedy NMS when built (25k-candidate frames are
+        # seconds in numpy); numpy fallback is semantics-identical
+        from ..native import greedy_nms
+        keep = greedy_nms(np.ascontiguousarray(dets, np.float32),
+                          iou_thres, plus_one=False)[:max_det]
         outputs.append(x[keep])
     return outputs
 
