@@ -153,11 +153,14 @@ def test_shufflenetv2_plus_backbone_parity():
     np.testing.assert_allclose(yf, yt, rtol=1e-3, atol=2e-4)
 
 
-@pytest.mark.parametrize("name,extra", [
-    ("pose_mobilevit_pixel_shuffle", {"MODEL_SIZE": "xx_small"}),
-    ("pose_mobilevitv2_pixel_shuffle", {"WIDTH_MULTIPLIER": 0.5}),
+@pytest.mark.parametrize("name,extra,exp_w", [
+    ("pose_mobilevit_pixel_shuffle", {"MODEL_SIZE": "xx_small"}, 24),
+    # v2 blocks resize non-divisible features UP front and keep the size
+    # (corenet resize_input_if_needed semantics, mobilevitv2.py:1095-1103):
+    # 96-wide input → 3-wide at /32 → resized to 4 → ×8 shuffle = 32.
+    ("pose_mobilevitv2_pixel_shuffle", {"WIDTH_MULTIPLIER": 0.5}, 32),
 ])
-def test_mobilevit_pose_shapes(name, extra):
+def test_mobilevit_pose_shapes(name, extra, exp_w):
     cfg = _cfg(name, "ps")
     cfg.MODEL.IMAGE_SIZE = [96, 128]
     cfg.MODEL.HEATMAP_SIZE = [24, 32]
@@ -166,7 +169,7 @@ def test_mobilevit_pose_shapes(name, extra):
     x = jnp.zeros((1, 128, 96, 3))
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
     out = model.apply(variables, x, train=False)
-    assert out.shape == (1, 32, 24, 17), out.shape
+    assert out.shape == (1, 32, exp_w, 17), out.shape
 
 
 def test_mobilevit_backbone_channel_contract():

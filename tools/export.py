@@ -1,19 +1,26 @@
 """Model export CLI (parity role: deep_hrnet/tools/export.py).
 
-The reference exports torch→ONNX with an output-parity assertion
-(export.py:56 ``np.testing.assert_allclose``).  The TPU-native equivalent
-exports the jitted forward to **StableHLO** (the portable XLA interchange
-format; consumable by ONNX converters, IREE, TF, serving runtimes) and
-asserts jit-vs-eager output parity in the same spirit.
+Formats (all with an output-parity assertion, the reference's
+export.py:56 ``np.testing.assert_allclose`` pattern):
 
-With ``--format pth`` it instead emits a reference-format torch
-state_dict (utils/torch_convert.flax_to_torch_from_cfg) — loadable with
-``strict=True`` by the reference models, so the reference's own
-torch→ONNX/MNN/OpenVINO tooling (tools/export.py:21-56,
-scripts/export_mnn.sh) covers the non-TPU deployment surface.
+* ``stablehlo`` — the portable XLA interchange format (consumable by
+  ONNX converters, IREE, TF, serving runtimes); asserts jit-vs-eager.
+* ``onnx`` — a real ``.onnx`` artifact (opset 11, the reference's
+  default), serialized by the in-repo protobuf writer
+  (udp_pose_tpu/export) — no onnx package needed — and verified by
+  executing the artifact with the in-repo spec evaluator vs the flax
+  forward.  Supported: pose_resnet, pose_hrnet, rsn.
+* ``tflite`` / ``savedmodel`` — mobile/serving artifacts via jax2tf,
+  verified by running the TFLite interpreter / TF function in-process.
+* ``pth`` — reference-format torch state_dict
+  (utils/torch_convert.flax_to_torch_from_cfg), loadable with
+  ``strict=True`` by the reference models, so the reference's own
+  torch→ONNX/MNN/OpenVINO tooling (tools/export.py:21-56,
+  scripts/export_mnn.sh) also works off-image.
 
 Usage: python tools/export.py --cfg exp.yaml [--weights w.msgpack]
-       [--batch 1] [--out model.stablehlo] [--format stablehlo|pth]
+       [--batch 1] [--out model.onnx]
+       [--format stablehlo|onnx|tflite|savedmodel|pth]
 """
 
 from __future__ import annotations
@@ -34,7 +41,10 @@ def parse_args():
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--out", default="")
     p.add_argument("--format", default="stablehlo",
-                   choices=("stablehlo", "pth"))
+                   choices=("stablehlo", "onnx", "tflite", "savedmodel",
+                            "pth"))
+    p.add_argument("--skip-check", action="store_true",
+                   help="skip the output-parity verification run")
     p.add_argument("opts", nargs=argparse.REMAINDER)
     return p.parse_args()
 
@@ -51,6 +61,10 @@ def main():
     from udp_pose_tpu.utils.checkpoint import load_weights
 
     cfg = load_config(args.cfg, args.opts)
+    if args.format in ("onnx", "tflite", "savedmodel"):
+        # deploy artifacts are fp32 (the reference exports fp32 ONNX);
+        # bf16 is a TPU compute-dtype choice, not a weight format here
+        cfg.TPU.DTYPE = "float32"
     model = build_model(cfg)
     w, h = cfg.MODEL.IMAGE_SIZE
     shape = (args.batch, h, w, 3)
@@ -61,6 +75,11 @@ def main():
         variables = jax.jit(lambda r: model.init(
             r, jnp.zeros((1, h, w, 3), jnp.float32), train=False)
         )(jax.random.PRNGKey(0))
+    if args.format in ("onnx", "tflite", "savedmodel", "pth"):
+        variables = jax.tree.map(
+            lambda a: np.asarray(a, np.float32)
+            if np.asarray(a).dtype != np.float32 else np.asarray(a),
+            variables)
 
     if args.format == "pth":
         import torch
@@ -71,6 +90,30 @@ def main():
                    out_path)
         print(f"exported reference-format state_dict "
               f"({len(sd)} tensors) -> {out_path}")
+        return
+
+    if args.format == "onnx":
+        from udp_pose_tpu.export import check_model, export_onnx_from_cfg
+        blob = export_onnx_from_cfg(variables, cfg, batch=args.batch)
+        out_path = args.out or os.path.splitext(args.cfg)[0] + ".onnx"
+        with open(out_path, "wb") as f:
+            f.write(blob)
+        print(f"exported ONNX opset 11 ({len(blob)} bytes) -> {out_path}")
+        if not args.skip_check:
+            rng = np.random.default_rng(0)
+            x = rng.normal(size=(args.batch, 3, h, w)).astype(np.float32)
+            apply = jax.jit(lambda v, im: model.apply(v, im, train=False))
+            y = np.asarray(apply(variables, x.transpose(0, 2, 3, 1))
+                           ).transpose(0, 3, 1, 2)
+            # atol scales with output magnitude: random-init (unnormalised)
+            # weights can blow activations to ~1e3, amplifying fp32 noise
+            atol = max(1e-3, 1e-5 * float(np.abs(y).max()))
+            err = check_model(blob, x, y, rtol=1e-2, atol=atol)
+            print(f"onnx-vs-flax parity OK (max abs err {err:.2e})")
+        return
+
+    if args.format in ("tflite", "savedmodel"):
+        export_tf(args, cfg, model, variables, shape)
         return
 
     def fwd(images):
@@ -97,6 +140,67 @@ def main():
     with open(out_path + ".bin", "wb") as f:
         f.write(ser)
     print(f"serialized exported fn -> {out_path}.bin ({len(ser)} bytes)")
+
+
+def export_tf(args, cfg, model, variables, shape):
+    """jax2tf → TF SavedModel or TFLite flatbuffer, with an in-process
+    interpreter-vs-flax parity check (the reference's onnxruntime-vs-torch
+    assert, export.py:45-56, with LiteRT as the runtime)."""
+    import jax
+    import jax.numpy as jnp
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "2")
+    from jax.experimental import jax2tf
+    import tensorflow as tf
+
+    def fwd(images):
+        return model.apply(variables, images, train=False)
+
+    tf_fwd = tf.function(
+        jax2tf.convert(fwd, with_gradient=False),
+        input_signature=[tf.TensorSpec(shape, tf.float32, name="images")],
+        autograph=False)
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=shape).astype(np.float32)
+    y_flax = np.asarray(jax.jit(fwd)(jnp.asarray(x)))
+
+    if args.format == "savedmodel":
+        out_path = args.out or os.path.splitext(args.cfg)[0] + "_savedmodel"
+        module = tf.Module()
+        module.f = tf_fwd
+        tf.saved_model.save(module, out_path,
+                            signatures={"serving_default": tf_fwd})
+        print(f"exported SavedModel -> {out_path}")
+        if not args.skip_check:
+            reloaded = tf.saved_model.load(out_path)
+            y_tf = reloaded.signatures["serving_default"](
+                images=tf.constant(x))
+            y_tf = np.asarray(list(y_tf.values())[0])
+            np.testing.assert_allclose(y_tf, y_flax, rtol=1e-3, atol=1e-4)
+            print(f"savedmodel-vs-flax parity OK "
+                  f"(max abs err {np.abs(y_tf - y_flax).max():.2e})")
+        return
+
+    converter = tf.lite.TFLiteConverter.from_concrete_functions(
+        [tf_fwd.get_concrete_function()])
+    converter.target_spec.supported_ops = [
+        tf.lite.OpsSet.TFLITE_BUILTINS, tf.lite.OpsSet.SELECT_TF_OPS]
+    tflite_bytes = converter.convert()
+    out_path = args.out or os.path.splitext(args.cfg)[0] + ".tflite"
+    with open(out_path, "wb") as f:
+        f.write(tflite_bytes)
+    print(f"exported TFLite ({len(tflite_bytes)} bytes) -> {out_path}")
+    if not args.skip_check:
+        interp = tf.lite.Interpreter(model_content=tflite_bytes)
+        interp.allocate_tensors()
+        inp = interp.get_input_details()[0]
+        out = interp.get_output_details()[0]
+        interp.set_tensor(inp["index"], x)
+        interp.invoke()
+        y_tfl = interp.get_tensor(out["index"])
+        np.testing.assert_allclose(y_tfl, y_flax, rtol=1e-2, atol=1e-3)
+        print(f"tflite-vs-flax parity OK "
+              f"(max abs err {np.abs(y_tfl - y_flax).max():.2e})")
 
 
 if __name__ == "__main__":
