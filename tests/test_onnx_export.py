@@ -70,8 +70,11 @@ def _roundtrip_and_check(cfg, batch=2, atol=3e-4):
     assert m.opset == 11 and m.ir_version == 6
     assert m.graph.inputs[0][0] == "images"
     assert m.graph.inputs[0][1] == [batch, 3, h, w]
-    assert all(init.array.dtype == np.float32
+    # weights are f32; Reshape-shape helpers are the only int64 tensors
+    assert all(init.array.dtype in (np.float32, np.int64)
                for init in m.graph.initializers)
+    assert all(init.array.dtype == np.float32
+               for init in m.graph.initializers if "." in init.name)
 
     rng = np.random.default_rng(7)
     x = rng.normal(size=(batch, 3, h, w)).astype(np.float32)
@@ -116,6 +119,19 @@ def test_onnx_pose_hrnet(target):
     cfg = _base_cfg("pose_hrnet", target)
     cfg.MODEL.EXTRA.merge_from_dict(HRNET_EXTRA_SMALL)
     _roundtrip_and_check(cfg)
+
+
+@pytest.mark.parametrize("extra", [
+    {"STAGE_NUM": 2, "LAYERS": [1, 1, 1, 1]},            # chained stages
+    {"STAGE_NUM": 1, "LAYERS": [1, 1, 1, 1],             # SE/PRM variant
+     "USE_SE": True, "USE_PRM": True},
+])
+def test_onnx_rsn(extra):
+    """RSN export: residual-steps splits, dual skip chaining, bilinear
+    align-corners Resize, SE/PRM gates."""
+    cfg = _base_cfg("rsn", "gaussian")
+    cfg.MODEL.EXTRA.merge_from_dict(extra)
+    _roundtrip_and_check(cfg, atol=5e-4)
 
 
 def test_onnx_initializer_names_are_reference_keys():
