@@ -121,6 +121,23 @@ def test_onnx_pose_hrnet(target):
     _roundtrip_and_check(cfg)
 
 
+def test_onnx_pose_resnet_psa():
+    """PSA_s gates (softmax attention pools + LayerNorm[C,1,1])."""
+    cfg = _base_cfg("pose_resnet_psa", "gaussian")
+    cfg.MODEL.EXTRA.merge_from_dict({
+        "NUM_LAYERS": 18, "NUM_DECONV_LAYERS": 2,
+        "NUM_DECONV_FILTERS": [64, 64], "NUM_DECONV_KERNELS": [4, 4],
+        "DECONV_WITH_BIAS": False, "FINAL_CONV_KERNEL": 1,
+    })
+    _roundtrip_and_check(cfg)
+
+
+def test_onnx_pose_hrnet_psa():
+    cfg = _base_cfg("pose_hrnet_psa", "offset")
+    cfg.MODEL.EXTRA.merge_from_dict(HRNET_EXTRA_SMALL)
+    _roundtrip_and_check(cfg)
+
+
 @pytest.mark.parametrize("extra", [
     {"STAGE_NUM": 2, "LAYERS": [1, 1, 1, 1]},            # chained stages
     {"STAGE_NUM": 1, "LAYERS": [1, 1, 1, 1],             # SE/PRM variant

@@ -134,12 +134,21 @@ def _exec(node: NodeP, env, F, torch):
     elif op == "MatMul":
         y = i[0] @ i[1]
     elif op == "Softmax":
-        y = F.softmax(i[0], dim=int(a.get("axis", -1)))
+        # opset-11 semantics: flatten to 2D at `axis`, softmax the tail
+        ax = int(a.get("axis", 1))
+        shp = i[0].shape
+        y = F.softmax(i[0].reshape(int(np.prod(shp[:ax])), -1),
+                      dim=1).reshape(shp)
+    elif op == "Sqrt":
+        y = torch.sqrt(i[0])
     elif op == "ReduceMean":
         y = i[0].mean(dim=[int(d) for d in a["axes"]],
                       keepdim=bool(a.get("keepdims", 1)))
     elif op == "Reshape":
-        y = i[0].reshape([int(d) for d in i[1].tolist()])
+        # 0 copies the input dim (allowzero=0), -1 infers
+        dims = [int(d) for d in i[1].tolist()]
+        dims = [i[0].shape[k] if d == 0 else d for k, d in enumerate(dims)]
+        y = i[0].reshape(dims)
     elif op == "Transpose":
         y = i[0].permute([int(p) for p in a["perm"]])
     elif op == "Split":

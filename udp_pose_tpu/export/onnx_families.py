@@ -24,9 +24,60 @@ from .onnx_build import GraphBuilder
 _DECONV_GEOM = {4: (1, 0), 3: (1, 1), 2: (0, 0)}
 
 
-def _basic_block(g: GraphBuilder, x: str, tp: str, stride: int) -> str:
-    """BasicBlock (pose_hrnet.py:29-59)."""
+def _layernorm_c11(g: GraphBuilder, x: str, tp: str,
+                   eps: float = 1e-5) -> str:
+    """torch LayerNorm([C,1,1]) on a (B,C,1,1) tensor, decomposed
+    (opset 11 has no LayerNormalization op)."""
+    mu = g.node("ReduceMean", [x], axes=[1, 2, 3], keepdims=1)
+    d = g.node("Sub", [x, mu])
+    var = g.node("ReduceMean", [g.mul(d, d)], axes=[1, 2, 3], keepdims=1)
+    eps_c = g.const("ln_eps", np.asarray([eps], np.float32))
+    denom = g.node("Sqrt", [g.add(var, eps_c)])
+    y = g.node("Div", [d, denom])
+    y = g.mul(y, g.weight(f"{tp}.weight"))
+    return g.add(y, g.weight(f"{tp}.bias"))
+
+
+def _psa_s(g: GraphBuilder, x: str, tp: str, hw) -> str:
+    """PSA_s (PSA.py:146-269): channel gate then spatial gate.  ``hw`` is
+    the static feature size (needed to reshape attention maps back)."""
+    h, w = hw
+    inter = int(g.sd[f"{tp}.conv_v_right.weight"].shape[0])
+    # channel branch ("spatial_pool")
+    v = g.conv(x, f"{tp}.conv_v_right", pad=0)
+    q = g.conv(x, f"{tp}.conv_q_right", pad=0)
+    q2 = g.reshape(q, (0, 1, -1))                       # B,1,HW
+    attn = g.node("Softmax", [q2], axis=2)              # over HW (tail)
+    v2 = g.reshape(v, (0, inter, -1))                   # B,inter,HW
+    attn_t = g.transpose(attn, (0, 2, 1))               # B,HW,1
+    ctx = g.node("MatMul", [v2, attn_t])                # B,inter,1
+    ctx = g.reshape(ctx, (0, inter, 1, 1))
+    ctx = g.conv(ctx, f"{tp}.conv_up.0", pad=0)
+    ctx = _layernorm_c11(g, ctx, f"{tp}.conv_up.1")
+    ctx = g.relu(ctx)
+    ctx = g.conv(ctx, f"{tp}.conv_up.3", pad=0)
+    x = g.mul(x, g.sigmoid(ctx))
+    # spatial branch ("channel_pool")
+    gq = g.conv(x, f"{tp}.conv_q_left", pad=0)
+    avg = g.global_avgpool(gq)
+    avg = g.reshape(avg, (0, inter, 1))                 # B,inter,1
+    theta = g.conv(x, f"{tp}.conv_v_left", pad=0)
+    theta = g.reshape(theta, (0, inter, -1))
+    theta = g.transpose(theta, (0, 2, 1))               # B,HW,inter
+    theta = g.node("Softmax", [theta], axis=2)          # over inter (tail)
+    sp = g.node("MatMul", [theta, avg])                 # B,HW,1
+    sp = g.transpose(sp, (0, 2, 1))
+    sp = g.reshape(sp, (0, 1, h, w))
+    return g.mul(x, g.sigmoid(sp))
+
+
+def _basic_block(g: GraphBuilder, x: str, tp: str, stride: int,
+                 hw=None) -> str:
+    """BasicBlock (pose_hrnet.py:29-59); PSA insert between conv1 and
+    conv2 when the block has deattn weights (pose_hrnet_psa.py:37,:49)."""
     out = g.conv_bn_relu(x, f"{tp}.conv1", f"{tp}.bn1", stride=stride)
+    if f"{tp}.deattn.conv_q_right.weight" in g.sd:
+        out = _psa_s(g, out, f"{tp}.deattn", hw)
     out = g.conv(out, f"{tp}.conv2")
     out = g.bn(out, f"{tp}.bn2")
     res = x
@@ -64,10 +115,16 @@ def build_pose_resnet(sd: Dict[str, np.ndarray], num_layers: int,
     x = g.conv("images", "conv1", stride=2, pad=3)
     x = g.relu(g.bn(x, "bn1"))
     x = g.maxpool(x)
+    cur = (-(-h // 4), -(-w // 4))
     for li, (blocks, stride) in enumerate(zip(layers, (1, 2, 2, 2))):
         for bi in range(blocks):
-            fn = _bottleneck if bottleneck else _basic_block
-            x = fn(g, x, f"layer{li + 1}.{bi}", stride if bi == 0 else 1)
+            s = stride if bi == 0 else 1
+            if s == 2:
+                cur = (-(-cur[0] // 2), -(-cur[1] // 2))
+            if bottleneck:
+                x = _bottleneck(g, x, f"layer{li + 1}.{bi}", s)
+            else:
+                x = _basic_block(g, x, f"layer{li + 1}.{bi}", s, hw=cur)
     i = 0
     while f"deconv_layers.{i}.weight" in sd:
         k = int(sd[f"deconv_layers.{i}.weight"].shape[2])
@@ -132,10 +189,11 @@ def build_pose_hrnet(sd: Dict[str, np.ndarray], stages_cfg,
             outs = []
             for br in range(nb):
                 y = xs[br]
+                br_hw = (h // 4 >> br, w // 4 >> br)
                 for bi in range(num_blocks[br]):
                     tp = f"{tmod}.branches.{br}.{bi}"
-                    y = (_basic_block(g, y, tp, 1) if block == "BASIC"
-                         else _bottleneck(g, y, tp, 1))
+                    y = (_basic_block(g, y, tp, 1, hw=br_hw)
+                         if block == "BASIC" else _bottleneck(g, y, tp, 1))
                 outs.append(y)
             n_out = nb if mso else 1
             fused = []
@@ -179,12 +237,12 @@ def export_onnx_from_cfg(variables, cfg, batch: int = 1) -> bytes:
     name = cfg.MODEL.NAME
     extra = cfg.MODEL.EXTRA
     sd = flax_to_torch_from_cfg(variables, cfg)
-    if name == "pose_resnet":
+    if name in ("pose_resnet", "pose_resnet_psa"):
         return build_pose_resnet(
             sd, extra.NUM_LAYERS, cfg.MODEL.NUM_JOINTS,
             cfg.MODEL.TARGET_TYPE, cfg.MODEL.IMAGE_SIZE,
             final_conv_kernel=extra.FINAL_CONV_KERNEL, batch=batch)
-    if name == "pose_hrnet":
+    if name in ("pose_hrnet", "pose_hrnet_psa"):
         from ..models.hrnet import stage_cfg
         stages = tuple(
             stage_cfg(extra[k]["NUM_MODULES"], extra[k]["NUM_BRANCHES"],
@@ -198,5 +256,5 @@ def export_onnx_from_cfg(variables, cfg, batch: int = 1) -> bytes:
     if name == "rsn":
         from .onnx_rsn import build_rsn
         return build_rsn(sd, cfg, batch=batch)
-    raise KeyError(f"no ONNX emitter for model {name!r} "
-                   "(supported: pose_resnet, pose_hrnet, rsn)")
+    raise KeyError(f"no ONNX emitter for model {name!r} (supported: "
+                   "pose_resnet[_psa], pose_hrnet[_psa], rsn)")

@@ -36,7 +36,8 @@ class PSA_s(nn.Module):
         ctx = ctx[:, None, None, :].astype(self.dtype)         # B,1,1,inter
         ctx = nn.Conv(inter // self.ratio, (1, 1), dtype=self.dtype,
                       name="conv_up_fc1")(ctx)
-        ctx = nn.LayerNorm(dtype=self.dtype, name="conv_up_ln")(ctx)
+        ctx = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                           name="conv_up_ln")(ctx)  # torch LN eps (PSA.py:164)
         ctx = nn.relu(ctx)
         ctx = nn.Conv(self.planes, (1, 1), dtype=self.dtype,
                       name="conv_up_fc2")(ctx)
