@@ -23,7 +23,8 @@ def _cfg(name, head="deconv", target="gaussian"):
     cfg.MODEL.IMAGE_SIZE = [192, 256]
     cfg.MODEL.HEATMAP_SIZE = [48, 64]
     cfg.MODEL.EXTRA.FINAL_CONV_KERNEL = 1
-    cfg.MODEL.EXTRA.MODEL_SIZE = "Small"
+    # reference yamls: '+' variants use Small/Medium/Large, 10x uses '1.0x'
+    cfg.MODEL.EXTRA.MODEL_SIZE = "1.0x" if "10x" in name else "Small"
     if head == "deconv":
         cfg.MODEL.EXTRA.NUM_DECONV_LAYERS = 3
         cfg.MODEL.EXTRA.NUM_DECONV_FILTERS = [256, 256, 256]

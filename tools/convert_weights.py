@@ -63,11 +63,9 @@ def main():
                                                       psa="psa" in name)
         elif name == "rsn":
             variables, unused = tc.convert_rsn(sd, extra.get("STAGE_NUM", 1))
-        elif name.startswith("pose_shufflenetv2"):
-            raise SystemExit("shufflenet pose checkpoints: convert the "
-                             "backbone with tc.convert_shufflenetv2 and the "
-                             "head with convert_pose_resnet rules (not yet "
-                             "wired as a one-shot CLI)")
+        elif name.startswith(("pose_shufflenetv2", "pose_mobilenetv3",
+                              "pose_mobilevit")):
+            variables, unused = tc.convert_pose_mobile(sd, cfg)
         else:
             raise SystemExit(f"no converter wired for {name}")
         model = build_model(cfg)

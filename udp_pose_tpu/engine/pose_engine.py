@@ -98,6 +98,9 @@ class UdpPosePipeline:
             v, _ = tc.convert_pose_hrnet(sd, stages, psa="psa" in name)
         elif name == "rsn":
             v, _ = tc.convert_rsn(sd, extra.get("STAGE_NUM", 1))
+        elif name.startswith(("pose_shufflenetv2", "pose_mobilenetv3",
+                              "pose_mobilevit")):
+            v, _ = tc.convert_pose_mobile(sd, self.cfg)
         else:
             raise ValueError(f"no .pth converter wired for {name}")
         return v

@@ -95,13 +95,17 @@ def _snv2p_ps(cfg):
 
 @register_model("pose_shufflenetv2_10x")
 def _snv2(cfg):
-    return _common(cfg, ShuffleNetV2, {"model_size": "1.0x"}, "deconv")
+    return _common(
+        cfg, ShuffleNetV2,
+        {"model_size": cfg.MODEL.EXTRA.get("MODEL_SIZE", "1.0x")}, "deconv")
 
 
 @register_model("pose_shufflenetv2_10x_pixel_shuffle")
 def _snv2_ps(cfg):
-    return _common(cfg, ShuffleNetV2, {"model_size": "1.0x"},
-                   "pixel_shuffle")
+    return _common(
+        cfg, ShuffleNetV2,
+        {"model_size": cfg.MODEL.EXTRA.get("MODEL_SIZE", "1.0x")},
+        "pixel_shuffle")
 
 
 @register_model("pose_mobilenetv3_small")
@@ -114,15 +118,21 @@ def _mnv3_ps(cfg):
     return _common(cfg, MobileNetV3Small, {}, "pixel_shuffle")
 
 
+_MVIT_SIZES = {"s": "small", "xs": "x_small", "xxs": "xx_small"}
+
+
 def _mvit_mode(cfg):
-    """Size from EXTRA.MODEL_SIZE or the MODEL.CONFIG yaml filename
-    (reference pose_mobilevit_pixel_shuffle.py:28-32 keys off sizes)."""
+    """Size from EXTRA.MODEL_SIZE ('s'|'xs'|'xxs', the reference yaml
+    surface — pose_mobilevit_pixel_shuffle.py:27-34) or the MODEL.CONFIG
+    yaml filename."""
     size = cfg.MODEL.EXTRA.get("MODEL_SIZE", None)
-    if size is None and cfg.MODEL.CONFIG:
+    if size is not None:
+        return _MVIT_SIZES.get(str(size), str(size))
+    if cfg.MODEL.CONFIG:
         name = str(cfg.MODEL.CONFIG)
-        size = ("xx_small" if "xxs" in name else
+        return ("xx_small" if "xxs" in name else
                 "x_small" if "xs" in name else "small")
-    return size or "small"
+    return "small"
 
 
 @register_model("pose_mobilevit_pixel_shuffle")
@@ -133,13 +143,22 @@ def _mvit_ps(cfg):
 
 
 def _mvitv2_width(cfg):
-    width = cfg.MODEL.EXTRA.get("WIDTH_MULTIPLIER", None)
+    """Width from EXTRA.MODEL_SIZE (the reference yamls carry 0.5/0.75/1.0
+    there — experiments/coco/mobilevitv2/*.yaml MODEL_SIZE), falling back
+    to WIDTH_MULTIPLIER or the MODEL.CONFIG yaml filename."""
+    width = cfg.MODEL.EXTRA.get("MODEL_SIZE", None)
+    try:
+        width = None if width is None else float(width)
+    except (TypeError, ValueError):
+        width = None
+    if width is None:
+        width = cfg.MODEL.EXTRA.get("WIDTH_MULTIPLIER", None)
     if width is None and cfg.MODEL.CONFIG:
         name = str(cfg.MODEL.CONFIG)
-        for cand in ("0.5", "0.75", "1.0"):
+        for cand in ("0.75", "0.5", "1.0"):
             if cand in name:
                 return float(cand)
-    return float(width or 1.0)
+    return float(width if width is not None else 1.0)
 
 
 @register_model("pose_mobilevitv2_pixel_shuffle")

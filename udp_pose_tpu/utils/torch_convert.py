@@ -417,6 +417,8 @@ def flax_to_torch(variables, family: str, **kwargs) -> Dict[str, np.ndarray]:
                  layers=tuple(kwargs.get("layers", (2, 2, 2, 2))),
                  plain=kwargs.get("plain", False),
                  se=kwargs.get("se", False), prm=kwargs.get("prm", False))
+    elif family == "pose_mobile":
+        _map_pose_mobile(cv, kwargs["cfg"])
     else:
         raise KeyError(f"no reverse mapping for family {family!r}")
     return cv.sd
@@ -443,6 +445,9 @@ def flax_to_torch_from_cfg(variables, cfg) -> Dict[str, np.ndarray]:
             plain=extra.get("PLAIN_BOTTLENECK", False),
             se=extra.get("USE_SE", False),
             prm=extra.get("USE_PRM", False))
+    if name.startswith(("pose_shufflenetv2", "pose_mobilenetv3",
+                        "pose_mobilevit")):
+        return flax_to_torch(variables, "pose_mobile", cfg=cfg)
     raise KeyError(f"no reverse mapping for model {name!r}")
 
 
@@ -465,13 +470,25 @@ def _convert_shuffle_block(cv: Converter, tp: str, fp, xception: bool):
     for ti, fn in pairs:
         cv.conv(f"{tp}.branch_main.{ti}", *fp, fn, "conv")
         cv.bn(f"{tp}.branch_main.{int(ti) + 1}", *fp, fn, "bn")
-    if f"{tp}.branch_main.{se_idx}.SE_opr.1.weight" in cv.sd:
+    if cv.probe(f"{tp}.branch_main.{se_idx}.SE_opr.1.weight", *fp, "se"):
         _convert_se_hardsigmoid(cv, f"{tp}.branch_main.{se_idx}", *fp, "se")
-    if f"{tp}.branch_proj.0.weight" in cv.sd:
+    if cv.probe(f"{tp}.branch_proj.0.weight", *fp, "proj_dw"):
         cv.conv(f"{tp}.branch_proj.0", *fp, "proj_dw", "conv")
         cv.bn(f"{tp}.branch_proj.1", *fp, "proj_dw", "bn")
         cv.conv(f"{tp}.branch_proj.2", *fp, "proj_pw", "conv")
         cv.bn(f"{tp}.branch_proj.3", *fp, "proj_pw", "bn")
+
+
+def _map_shufflenetv2(cv: Converter, prefix="", fr=(), n_blocks=16,
+                      arch=None):
+    cv.conv(f"{prefix}first_conv.0", *fr, "first_conv", "conv")
+    cv.bn(f"{prefix}first_conv.1", *fr, "first_conv", "bn")
+    for i in range(n_blocks):
+        xcep = arch is not None and arch[i] == 3
+        _convert_shuffle_block(cv, f"{prefix}features.{i}",
+                               (*fr, f"block{i}"), xcep)
+    cv.conv(f"{prefix}conv_last.0", *fr, "conv_last", "conv")
+    cv.bn(f"{prefix}conv_last.1", *fr, "conv_last", "bn")
 
 
 def convert_shufflenetv2(sd: Dict[str, np.ndarray], prefix="",
@@ -483,14 +500,7 @@ def convert_shufflenetv2(sd: Dict[str, np.ndarray], prefix="",
     LastSE) are ignored.  Returns (variables, unused_keys).
     """
     cv = Converter(sd)
-    cv.conv(f"{prefix}first_conv.0", "first_conv", "conv")
-    cv.bn(f"{prefix}first_conv.1", "first_conv", "bn")
-    for i in range(n_blocks):
-        xcep = arch is not None and arch[i] == 3
-        _convert_shuffle_block(cv, f"{prefix}features.{i}",
-                               (f"block{i}",), xcep)
-    cv.conv(f"{prefix}conv_last.0", "conv_last", "conv")
-    cv.bn(f"{prefix}conv_last.1", "conv_last", "bn")
+    _map_shufflenetv2(cv, prefix, (), n_blocks, arch)
     unused = [k for k in cv.unused()
               if not any(s in k for s in ("classifier", "fc.", "LastSE",
                                           "globalpool"))]
@@ -555,13 +565,13 @@ def convert_yolov5(sd: Dict[str, np.ndarray], variant: str = "n"):
 def _convert_cna(cv: Converter, tkey: str, *path):
     """corenet ConvLayer (.block.conv [+ .block.norm]) → ConvNormAct."""
     cv.conv(f"{tkey}.block.conv", *path, "conv")
-    if f"{tkey}.block.norm.weight" in cv.sd:
+    if cv.probe(f"{tkey}.block.norm.weight", *path, "bn"):
         cv.bn(f"{tkey}.block.norm", *path, "bn")
 
 
 def _convert_corenet_mv2(cv: Converter, tp: str, fp):
     """corenet InvertedResidual (backbones/mobilevit.py:239-366)."""
-    if f"{tp}.block.exp_1x1.block.conv.weight" in cv.sd:
+    if cv.probe(f"{tp}.block.exp_1x1.block.conv.weight", *fp, "exp_1x1"):
         _convert_cna(cv, f"{tp}.block.exp_1x1", *fp, "exp_1x1")
     _convert_cna(cv, f"{tp}.block.conv_3x3", *fp, "conv_3x3")
     _convert_cna(cv, f"{tp}.block.red_1x1", *fp, "red_1x1")
@@ -569,8 +579,23 @@ def _convert_corenet_mv2(cv: Converter, tp: str, fp):
 
 def _convert_mha(cv: Converter, tp: str, fp, dim: int, heads: int):
     """corenet MultiHeadAttention (combined qkv, backbones/mobilevit.py:
-    369-466; qkv rows = [q;k;v], head-contiguous) → flax MHDPA."""
+    369-466; qkv rows = [q;k;v], head-contiguous) ↔ flax MHDPA."""
     hd = dim // heads
+    if cv.reverse:
+        Ws, bs = [], []
+        for name in ("query", "key", "value"):
+            k = _get(cv.params, (*fp, "attn", name, "kernel"))
+            Ws.append(np.ascontiguousarray(k.reshape(dim, dim).T))
+            bs.append(_get(cv.params, (*fp, "attn", name,
+                                       "bias")).reshape(dim))
+        cv.sd[f"{tp}.qkv_proj.weight"] = np.concatenate(Ws, axis=0)
+        cv.sd[f"{tp}.qkv_proj.bias"] = np.concatenate(bs, axis=0)
+        ko = _get(cv.params, (*fp, "attn", "out", "kernel"))
+        cv.sd[f"{tp}.out_proj.weight"] = np.ascontiguousarray(
+            ko.reshape(dim, dim).T)
+        cv.sd[f"{tp}.out_proj.bias"] = _get(cv.params,
+                                            (*fp, "attn", "out", "bias"))
+        return
     W = cv.sd[f"{tp}.qkv_proj.weight"]
     b = cv.sd[f"{tp}.qkv_proj.bias"]
     for i, name in enumerate(("query", "key", "value")):
@@ -586,14 +611,6 @@ def _convert_mha(cv: Converter, tp: str, fp, dim: int, heads: int):
                     f"{tp}.out_proj.weight", f"{tp}.out_proj.bias"})
 
 
-def _dense(cv: Converter, tkey: str, *path):
-    _set(cv.params, (*path, "kernel"), cv.sd[f"{tkey}.weight"].T)
-    cv.used.add(f"{tkey}.weight")
-    if f"{tkey}.bias" in cv.sd:
-        _set(cv.params, (*path, "bias"), cv.sd[f"{tkey}.bias"])
-        cv.used.add(f"{tkey}.bias")
-
-
 # (mode, heads=4): transformer depth per vit stage + attn dims, from
 # MOBILEVIT_SPEC in models/mobilevit.py (reference configs/mobilevit*.yaml)
 _MOBILEVIT_STAGES = {
@@ -603,20 +620,17 @@ _MOBILEVIT_STAGES = {
 }
 
 
-def convert_mobilevit(sd: Dict[str, np.ndarray], mode: str = "small",
-                      prefix: str = "", heads: int = 4):
-    """Reference MobileViT backbone state_dict (backbones/mobilevit.py:931
-    get_mobilevit / corenet layout) → flax MobileViT variables."""
-    cv = Converter(sd)
+def _map_mobilevit(cv: Converter, mode: str = "small", prefix: str = "",
+                   fr=(), heads: int = 4):
     p = prefix
-    _convert_cna(cv, f"{p}conv_1", "conv_1")
-    _convert_corenet_mv2(cv, f"{p}layer_1.0", ("layer1_0",))
+    _convert_cna(cv, f"{p}conv_1", *fr, "conv_1")
+    _convert_corenet_mv2(cv, f"{p}layer_1.0", (*fr, "layer1_0"))
     for i in range(3):
-        _convert_corenet_mv2(cv, f"{p}layer_2.{i}", (f"layer2_{i}",))
+        _convert_corenet_mv2(cv, f"{p}layer_2.{i}", (*fr, f"layer2_{i}"))
     for li, (dim, L) in zip((3, 4, 5), _MOBILEVIT_STAGES[mode]):
-        _convert_corenet_mv2(cv, f"{p}layer_{li}.0", (f"layer{li}_mv2",))
+        _convert_corenet_mv2(cv, f"{p}layer_{li}.0", (*fr, f"layer{li}_mv2"))
         tp = f"{p}layer_{li}.1"
-        fp = (f"layer{li}_vit",)
+        fp = (*fr, f"layer{li}_vit")
         _convert_cna(cv, f"{tp}.local_rep.conv_3x3", *fp, "local_3x3")
         cv.conv(f"{tp}.local_rep.conv_1x1.block.conv", *fp, "local_1x1")
         for b in range(L):
@@ -625,29 +639,34 @@ def convert_mobilevit(sd: Dict[str, np.ndarray], mode: str = "small",
             cv.ln(f"{base}.pre_norm_mha.0", *tr, "ln1")
             _convert_mha(cv, f"{base}.pre_norm_mha.1", tr, dim, heads)
             cv.ln(f"{base}.pre_norm_ffn.0", *tr, "ln2")
-            _dense(cv, f"{base}.pre_norm_ffn.1", *tr, "fc1")
-            _dense(cv, f"{base}.pre_norm_ffn.4", *tr, "fc2")
+            cv.dense(f"{base}.pre_norm_ffn.1", *tr, "fc1")
+            cv.dense(f"{base}.pre_norm_ffn.4", *tr, "fc2")
         cv.ln(f"{tp}.global_rep.{L}", *fp, "ln_out")
         _convert_cna(cv, f"{tp}.conv_proj", *fp, "conv_proj")
         _convert_cna(cv, f"{tp}.fusion", *fp, "fusion")
-    _convert_cna(cv, f"{p}conv_1x1_exp", "conv_1x1_exp")
+    _convert_cna(cv, f"{p}conv_1x1_exp", *fr, "conv_1x1_exp")
+
+
+def convert_mobilevit(sd: Dict[str, np.ndarray], mode: str = "small",
+                      prefix: str = "", heads: int = 4):
+    """Reference MobileViT backbone state_dict (backbones/mobilevit.py:931
+    get_mobilevit / corenet layout) → flax MobileViT variables."""
+    cv = Converter(sd)
+    _map_mobilevit(cv, mode, prefix, (), heads)
     unused = [k for k in cv.unused() if "classifier" not in k]
     return cv.variables(), unused
 
 
-def convert_mobilevitv2(sd: Dict[str, np.ndarray], prefix: str = ""):
-    """Reference MobileViTv2 backbone state_dict (backbones/mobilevitv2.py:
-    1456 factory) → flax MobileViTv2 variables."""
-    cv = Converter(sd)
+def _map_mobilevitv2(cv: Converter, prefix: str = "", fr=()):
     p = prefix
-    _convert_cna(cv, f"{p}conv_1", "conv_1")
-    _convert_corenet_mv2(cv, f"{p}layer_1.0", ("layer1_0",))
+    _convert_cna(cv, f"{p}conv_1", *fr, "conv_1")
+    _convert_corenet_mv2(cv, f"{p}layer_1.0", (*fr, "layer1_0"))
     for i in range(2):
-        _convert_corenet_mv2(cv, f"{p}layer_2.{i}", (f"layer2_{i}",))
+        _convert_corenet_mv2(cv, f"{p}layer_2.{i}", (*fr, f"layer2_{i}"))
     for li, L in zip((3, 4, 5), (2, 4, 3)):
-        _convert_corenet_mv2(cv, f"{p}layer_{li}.0", (f"layer{li}_mv2",))
+        _convert_corenet_mv2(cv, f"{p}layer_{li}.0", (*fr, f"layer{li}_mv2"))
         tp = f"{p}layer_{li}.1"
-        fp = (f"layer{li}_vit",)
+        fp = (*fr, f"layer{li}_vit")
         _convert_cna(cv, f"{tp}.local_rep.0", *fp, "local_dw")
         cv.conv(f"{tp}.local_rep.1.block.conv", *fp, "local_1x1")
         for b in range(L):
@@ -663,8 +682,43 @@ def convert_mobilevitv2(sd: Dict[str, np.ndarray], prefix: str = ""):
             cv.conv(f"{base}.pre_norm_ffn.3.block.conv", *ab, "ffn2")
         cv.ln(f"{tp}.global_rep.{L}", *fp, "norm_out")
         _convert_cna(cv, f"{tp}.conv_proj", *fp, "conv_proj")
+
+
+def convert_mobilevitv2(sd: Dict[str, np.ndarray], prefix: str = ""):
+    """Reference MobileViTv2 backbone state_dict (backbones/mobilevitv2.py:
+    1456 factory) → flax MobileViTv2 variables."""
+    cv = Converter(sd)
+    _map_mobilevitv2(cv, prefix, ())
     unused = [k for k in cv.unused() if "classifier" not in k]
     return cv.variables(), unused
+
+
+def _map_mobilenetv3_small(cv: Converter, prefix: str = "features.",
+                           fr=()):
+    from ..models.mobile import MOBILENETV3_SMALL_SPEC
+    p = prefix
+
+    def cna(tkey, *path):
+        cv.conv(f"{tkey}.0", *path, "conv")
+        cv.bn(f"{tkey}.1", *path, "bn")
+
+    cna(f"{p}0", *fr, "stem")
+    in_ch = 16
+    for bi, (exp, out, _k, _s, se, _act) in enumerate(MOBILENETV3_SMALL_SPEC):
+        tb = f"{p}{bi + 1}.block"
+        j = 0
+        if exp != in_ch:
+            cna(f"{tb}.{j}", *fr, f"b{bi}_expand")
+            j += 1
+        cna(f"{tb}.{j}", *fr, f"b{bi}_dw")
+        j += 1
+        if se:
+            cv.conv(f"{tb}.{j}.fc1", *fr, f"b{bi}_se", "fc1")
+            cv.conv(f"{tb}.{j}.fc2", *fr, f"b{bi}_se", "fc2")
+            j += 1
+        cna(f"{tb}.{j}", *fr, f"b{bi}_project")
+        in_ch = out
+    cna(f"{p}12", *fr, "conv_last")
 
 
 def convert_mobilenetv3_small(sd: Dict[str, np.ndarray],
@@ -677,34 +731,70 @@ def convert_mobilenetv3_small(sd: Dict[str, np.ndarray],
     which flattens to a bare ``0.`` prefix.  Layout: {p}0 stem CNA,
     {p}1..11 InvertedResidual (.block.{i} sub-CNAs + SqueezeExcitation
     fc1/fc2), {p}12 last CNA."""
-    from ..models.mobile import MOBILENETV3_SMALL_SPEC
-
     cv = Converter(sd)
-    p = prefix
-
-    def cna(tkey, *path):
-        cv.conv(f"{tkey}.0", *path, "conv")
-        cv.bn(f"{tkey}.1", *path, "bn")
-
-    cna(f"{p}0", "stem")
-    in_ch = 16
-    for bi, (exp, out, _k, _s, se, _act) in enumerate(MOBILENETV3_SMALL_SPEC):
-        tb = f"{p}{bi + 1}.block"
-        j = 0
-        if exp != in_ch:
-            cna(f"{tb}.{j}", f"b{bi}_expand")
-            j += 1
-        cna(f"{tb}.{j}", f"b{bi}_dw")
-        j += 1
-        if se:
-            cv.conv(f"{tb}.{j}.fc1", f"b{bi}_se", "fc1")
-            cv.conv(f"{tb}.{j}.fc2", f"b{bi}_se", "fc2")
-            j += 1
-        cna(f"{tb}.{j}", f"b{bi}_project")
-        in_ch = out
-    cna(f"{p}12", "conv_last")
+    _map_mobilenetv3_small(cv, prefix, ())
     unused = [k for k in cv.unused()
               if not any(s in k for s in ("classifier", "avgpool"))]
+    return cv.variables(), unused
+
+
+def _mobile_backbone_map(cv: Converter, cfg, tp: str = "backbone.",
+                         fr=("backbone",)):
+    """Dispatch the backbone part of a mobile pose wrapper by model name."""
+    from ..models.mobile import SHUFFLENETV2_PLUS_ARCH
+    name = cfg.MODEL.NAME
+    if "shufflenetv2_plus" in name:
+        _map_shufflenetv2(cv, tp, fr, n_blocks=20,
+                          arch=SHUFFLENETV2_PLUS_ARCH)
+    elif "shufflenetv2_10x" in name:
+        _map_shufflenetv2(cv, tp, fr, n_blocks=16, arch=None)
+    elif "mobilenetv3_small" in name:
+        # reference wraps Sequential(features) → "backbone.0.<idx>" keys
+        # (backbones/mobilenetv3.py:5-16)
+        _map_mobilenetv3_small(cv, f"{tp}0.", fr)
+    elif "mobilevitv2" in name:
+        _map_mobilevitv2(cv, tp, fr)
+    elif "mobilevit" in name:
+        from ..models.pose_mobile import _mvit_mode
+        _map_mobilevit(cv, _mvit_mode(cfg), tp, fr)
+    else:
+        raise KeyError(f"not a mobile pose model: {name!r}")
+
+
+def _map_pose_mobile(cv: Converter, cfg):
+    """Full mobile pose wrapper: backbone + deconv/pixel-shuffle head +
+    final 1×1 (lib/models/pose_shufflenetv2_plus[_pixel_shuffle].py etc.;
+    torch attrs backbone. / deconv_layers. | decoder. / final_layer)."""
+    _mobile_backbone_map(cv, cfg)
+    if "pixel_shuffle" in cfg.MODEL.NAME:
+        cv.conv("decoder.conv_compress", "decoder", "conv_compress")
+        arch = tuple(cfg.MODEL.EXTRA.get("ARCHITECTURE", (512, 256, 128)))
+        for i in range(len(arch)):
+            cv.conv(f"decoder.duc.{i}.conv", "decoder", f"duc{i}",
+                    "cb", "conv")
+            cv.bn(f"decoder.duc.{i}.bn", "decoder", f"duc{i}", "cb", "bn")
+    else:
+        i = di = 0
+        while cv.probe(f"deconv_layers.{i}.weight", "deconv", f"deconv{di}"):
+            cv.conv(f"deconv_layers.{i}", "deconv", f"deconv{di}",
+                    transposed=True)
+            cv.bn(f"deconv_layers.{i + 1}", "deconv", f"bn{di}")
+            i += 3
+            di += 1
+    cv.conv("final_layer", "final_layer")
+
+
+_CLASSIFIER_KEYS = ("classifier", "fc.", "LastSE", "globalpool", "avgpool")
+
+
+def convert_pose_mobile(sd: Dict[str, np.ndarray], cfg):
+    """Trained mobile pose .pth → flax variables for MobilePoseNet.
+    Returns (variables, unused_keys); the backbone's dead classifier-head
+    keys (never run in the pose forward) are not reported."""
+    cv = Converter(sd)
+    _map_pose_mobile(cv, cfg)
+    unused = [k for k in cv.unused()
+              if not any(s in k for s in _CLASSIFIER_KEYS)]
     return cv.variables(), unused
 
 
