@@ -138,6 +138,47 @@ def test_onnx_pose_hrnet_psa():
     _roundtrip_and_check(cfg)
 
 
+def _mobile_cfg(name, target="gaussian", head_extra=None, **extra):
+    cfg = _base_cfg(name, target)
+    base = {"NUM_DECONV_LAYERS": 2, "NUM_DECONV_FILTERS": [128, 128],
+            "NUM_DECONV_KERNELS": [4, 4], "DECONV_WITH_BIAS": False,
+            "FINAL_CONV_KERNEL": 1, "START_CHANNELS": 128,
+            "ARCHITECTURE": [256, 128, 64]}
+    base.update(extra)
+    base.update(head_extra or {})
+    cfg.MODEL.EXTRA.merge_from_dict(base)
+    return cfg
+
+
+@pytest.mark.parametrize("name,extra", [
+    ("pose_shufflenetv2_plus", {"MODEL_SIZE": "Small"}),
+    ("pose_shufflenetv2_plus_pixel_shuffle", {"MODEL_SIZE": "Small"}),
+    ("pose_shufflenetv2_10x", {"MODEL_SIZE": "1.0x"}),
+    ("pose_shufflenetv2_10x_pixel_shuffle", {"MODEL_SIZE": "1.0x"}),
+    ("pose_mobilenetv3_small", {}),
+    ("pose_mobilenetv3_small_pixel_shuffle", {}),
+])
+def test_onnx_pose_mobile(name, extra):
+    """ShuffleNetV2(+)/MobileNetV3 emitters: strided-Slice channel split,
+    HardSigmoid SE gates, DepthToSpace pixel shuffle."""
+    cfg = _mobile_cfg(name, **extra)
+    _roundtrip_and_check(cfg)
+
+
+@pytest.mark.parametrize("name,extra", [
+    ("pose_mobilevit_pixel_shuffle", {"MODEL_SIZE": "xxs"}),
+    ("pose_mobilevitv2_pixel_shuffle", {"MODEL_SIZE": 0.5}),
+])
+def test_onnx_pose_mobilevit(name, extra):
+    """ViT emitters: unfold/fold as Reshape/Transpose, MatMul MHA (v1),
+    separable linear attention (v2).  64-wide input keeps every vit stage
+    patch-divisible (the fixed-shape export contract)."""
+    cfg = _mobile_cfg(name, target="offset", **extra)
+    cfg.MODEL.IMAGE_SIZE = [64, 128]
+    cfg.MODEL.HEATMAP_SIZE = [16, 32]
+    _roundtrip_and_check(cfg)
+
+
 @pytest.mark.parametrize("extra", [
     {"STAGE_NUM": 2, "LAYERS": [1, 1, 1, 1]},            # chained stages
     {"STAGE_NUM": 1, "LAYERS": [1, 1, 1, 1],             # SE/PRM variant

@@ -172,6 +172,21 @@ class GraphBuilder:
                                 attrs={"axis": axis, "split": list(sizes)}))
         return outs
 
+    def slice_axis(self, x: str, start: int, end: int, axis: int = 1,
+                   step: int = 1, out: Optional[str] = None) -> str:
+        """opset-11 Slice (tensor operands, supports strided steps)."""
+        mk = lambda tag, v: self.const(  # noqa: E731
+            f"slice_{tag}_{v}", np.asarray([v], np.int64))
+        return self.node("Slice",
+                         [x, mk("s", start), mk("e", end),
+                          mk("a", axis), mk("st", step)], out)
+
+    def depth_to_space(self, x: str, blocksize: int,
+                       out: Optional[str] = None) -> str:
+        """CRD mode == torch nn.PixelShuffle."""
+        return self.node("DepthToSpace", [x], out,
+                         blocksize=blocksize, mode="CRD")
+
     def conv_bn_relu(self, x: str, conv_key: str, bn_key: str,
                      stride: int = 1, relu: bool = True, group: int = 1,
                      pad: Optional[int] = None) -> str:

@@ -144,6 +144,26 @@ def _exec(node: NodeP, env, F, torch):
     elif op == "ReduceMean":
         y = i[0].mean(dim=[int(d) for d in a["axes"]],
                       keepdim=bool(a.get("keepdims", 1)))
+    elif op == "ReduceSum":
+        y = i[0].sum(dim=[int(d) for d in a["axes"]],
+                     keepdim=bool(a.get("keepdims", 1)))
+    elif op == "Slice":
+        # opset 11: data, starts, ends, axes, steps (all tensors)
+        starts = [int(v) for v in i[1].tolist()]
+        ends = [int(v) for v in i[2].tolist()]
+        axes = ([int(v) for v in i[3].tolist()] if len(i) > 3
+                else list(range(len(starts))))
+        steps = ([int(v) for v in i[4].tolist()] if len(i) > 4
+                 else [1] * len(starts))
+        y = i[0]
+        for s, e, ax, st in zip(starts, ends, axes, steps):
+            idx = torch.arange(s, min(e, y.shape[ax]), st)
+            y = y.index_select(ax, idx)
+    elif op == "DepthToSpace":
+        mode = a.get("mode", b"DCR")
+        mode = mode.decode() if isinstance(mode, bytes) else mode
+        assert mode == "CRD", mode   # == torch pixel_shuffle
+        y = F.pixel_shuffle(i[0], int(a["blocksize"]))
     elif op == "Reshape":
         # 0 copies the input dim (allowzero=0), -1 infers
         dims = [int(d) for d in i[1].tolist()]

@@ -256,5 +256,10 @@ def export_onnx_from_cfg(variables, cfg, batch: int = 1) -> bytes:
     if name == "rsn":
         from .onnx_rsn import build_rsn
         return build_rsn(sd, cfg, batch=batch)
+    if name.startswith(("pose_shufflenetv2", "pose_mobilenetv3",
+                        "pose_mobilevit")):
+        from .onnx_mobile import build_pose_mobile
+        return build_pose_mobile(sd, cfg, batch=batch)
     raise KeyError(f"no ONNX emitter for model {name!r} (supported: "
-                   "pose_resnet[_psa], pose_hrnet[_psa], rsn)")
+                   "pose_resnet[_psa], pose_hrnet[_psa], rsn, and the "
+                   "mobile zoo)")
