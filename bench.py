@@ -151,39 +151,30 @@ def bench_train(jax, jnp, batch=64):
     return sps, tflops
 
 
-def bench_engine(jax, n_person=8, frames=24):
-    """Detect-then-pose serving path: YOLOv5n (640, device top-k) + the
-    flagship pose pipeline (flip-test, bucket 8) on a 1280x720 frame,
-    per-frame host sync included — the latency a video/webcam user sees
-    (tools/infer.py loop; reference inference_engine.py)."""
+def bench_engine(jax, frames=24):
+    """Fused detect+pose serving path (engine/fused.py): 720p frame →
+    device letterbox → YOLOv5n → device top-k+NMS → 16 pose crops
+    (flip-test) → decode, ONE dispatch + ONE readback per frame — the
+    latency a video/webcam user sees (reference inference_engine.py
+    round-trips the host 4+ times per frame instead)."""
     from __graft_entry__ import _hrnet_w32_cfg
-    from udp_pose_tpu.engine.detector import build_flax_yolo_detector
-    from udp_pose_tpu.engine.pose_engine import UdpPosePipeline
+    from udp_pose_tpu.engine.fused import FusedDetectPose
 
-    det = build_flax_yolo_detector("n")
     cfg = _hrnet_w32_cfg((192, 256), (48, 64), dtype="bfloat16")
-    pose = UdpPosePipeline(cfg, None)
+    eng = FusedDetectPose(cfg, None, yolo_variant="n", max_persons=16)
     rng_np = np.random.default_rng(2)
     frame = rng_np.integers(0, 256, (720, 1280, 3)).astype(np.uint8)
-    # fixed person boxes -> deterministic bucket (detector output is noise
-    # under random init; its cost is still timed)
-    boxes = np.stack([np.array([40 + 150 * i, 80, 190 + 150 * i, 640],
-                               np.float32) for i in range(n_person)])
 
-    def one_frame():
-        det.infer(frame)
-        return pose.infer_pose(frame, boxes)
-
-    one_frame()  # compile both graphs
-    one_frame()
+    eng.infer_frame(frame)   # compile
+    eng.infer_frame(frame)
     best = None
     for _ in range(2):
         t0 = time.perf_counter()
         for _ in range(frames // 2):
-            one_frame()
+            eng.infer_frame(frame)
         dt = (time.perf_counter() - t0) / (frames // 2)
         best = dt if best is None else min(best, dt)
-    log(f"engine detect+pose ({n_person} persons, flip): "
+    log(f"fused engine detect+pose (16-person budget, flip): "
         f"{1.0 / best:.1f} fps ({best * 1e3:.1f} ms/frame)")
     return 1.0 / best
 

@@ -1,0 +1,105 @@
+"""FusedDetectPose: the single-dispatch detect+pose serving graph.
+
+With a stubbed detector head emitting known candidates, the fused graph's
+device-side top-k → NMS → scale-back must reproduce the host reference
+path (ops/yolo.non_max_suppression + scale_boxes + padding_bbox), and its
+keypoints must equal the two-stage UdpPosePipeline on the same boxes —
+i.e. fusing is a pure latency optimisation, not a behaviour change.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from udp_pose_tpu.config import default_config
+
+
+def _pose_cfg():
+    cfg = default_config()
+    cfg.MODEL.NAME = "pose_resnet"
+    cfg.MODEL.TARGET_TYPE = "gaussian"
+    cfg.MODEL.IMAGE_SIZE = [96, 128]
+    cfg.MODEL.HEATMAP_SIZE = [24, 32]
+    cfg.MODEL.EXTRA.merge_from_dict({
+        "NUM_LAYERS": 18, "NUM_DECONV_LAYERS": 2,
+        "NUM_DECONV_FILTERS": [64, 64], "NUM_DECONV_KERNELS": [4, 4],
+        "DECONV_WITH_BIAS": False, "FINAL_CONV_KERNEL": 1})
+    cfg.TPU.DTYPE = "float32"
+    cfg.TEST.FLIP_TEST = True
+    return cfg
+
+
+class _StubYolo:
+    """Fixed raw head output regardless of the input frame."""
+
+    def __init__(self, pred_np):
+        self._pred = np.asarray(pred_np, np.float32)
+
+    def apply(self, variables, x, train=False):
+        return jnp.asarray(self._pred)[None]
+
+
+def _mk_pred(rows, n_anchors=64, nc=80):
+    """rows: list of (cx, cy, w, h, obj, cls0)."""
+    pred = np.zeros((n_anchors, 5 + nc), np.float32)
+    pred[:, 4] = 1e-4                       # background obj
+    pred[:, 5] = 1e-4
+    for i, (cx, cy, w, h, obj, c0) in enumerate(rows):
+        pred[i, :4] = (cx, cy, w, h)
+        pred[i, 4] = obj
+        pred[i, 5] = c0
+    return pred
+
+
+def test_fused_matches_host_nms_and_two_stage_pose():
+    from udp_pose_tpu.engine.fused import FusedDetectPose
+    from udp_pose_tpu.ops.yolo import (non_max_suppression, padding_bbox,
+                                       scale_boxes)
+
+    H, W, det = 240, 320, 128     # letterbox: r=0.4 → 96x128 canvas, no pad
+    cfg = _pose_cfg()
+    eng = FusedDetectPose(cfg, None, yolo_variant="n", max_persons=8,
+                          det_size=det, topk=32, conf_thres=0.25,
+                          iou_thres=0.45)
+    # candidates in letterbox coords: two heavy overlaps + one distinct
+    rows = [(28, 46, 40, 68, 0.95, 0.95),    # keep (highest conf)
+            (30, 46, 40, 68, 0.90, 0.90),    # suppressed (IoU ≫ 0.45)
+            (90, 40, 30, 60, 0.80, 0.90)]    # keep
+    pred = _mk_pred(rows)
+    eng.yolo = _StubYolo(pred)
+
+    rng = np.random.default_rng(3)
+    frame = rng.integers(0, 255, (H, W, 3)).astype(np.uint8)
+    out = eng.infer_frame(frame)
+
+    # host reference detection path on the same raw head output
+    det_host = non_max_suppression(pred[None], 0.25, 0.45)[0]
+    boxes_host = scale_boxes(det_host[:, :4], (H, W), (96, 128))
+    expect = np.array([padding_bbox(*(int(v) for v in b), (H, W))
+                       for b in boxes_host], np.float32)
+    assert out["boxes"].shape == (2, 4)
+    np.testing.assert_allclose(out["boxes"], expect, atol=1.0)
+
+    # two-stage pipeline on the fused path's own boxes → same keypoints
+    kp2, mv2 = eng._pose.infer_pose(frame, out["boxes"])
+    np.testing.assert_allclose(out["keypoints"], kp2, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(out["maxvals"], mv2, rtol=1e-4, atol=1e-3)
+
+    # jit cache reuse + determinism
+    out2 = eng.infer_frame(frame)
+    np.testing.assert_array_equal(out["keypoints"], out2["keypoints"])
+    assert len(eng._runs) == 1
+
+
+def test_fused_empty_frame():
+    from udp_pose_tpu.engine.fused import FusedDetectPose
+    cfg = _pose_cfg()
+    eng = FusedDetectPose(cfg, None, yolo_variant="n", max_persons=4,
+                          det_size=128, topk=16)
+    eng.yolo = _StubYolo(_mk_pred([]))
+    frame = np.zeros((160, 160, 3), np.uint8)
+    out = eng.infer_frame(frame)
+    assert out["keypoints"].shape == (0, 17, 2)
+    assert out["boxes"].shape == (0, 4)

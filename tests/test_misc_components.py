@@ -79,6 +79,42 @@ def test_standalone_engine():
     np.testing.assert_allclose(kps[0, 0], [200, 250], atol=8)
 
 
+def test_standalone_engine_onnx_backend():
+    """StandalonePoseEngine over an actual exported .onnx — the
+    reference's config-free ONNX deploy path (infer_standalone.py:110)
+    reproduced end-to-end: flax backend and onnx backend must agree."""
+    import jax
+    from test_onnx_export import _base_cfg, _small_variables
+    from udp_pose_tpu.engine.standalone import (StandalonePoseEngine,
+                                                onnx_model_fn)
+    from udp_pose_tpu.export import export_onnx_from_cfg
+    from udp_pose_tpu.models import build_model
+
+    cfg = _base_cfg("pose_resnet", "gaussian")
+    cfg.MODEL.EXTRA.merge_from_dict({
+        "NUM_LAYERS": 18, "NUM_DECONV_LAYERS": 2,
+        "NUM_DECONV_FILTERS": [64, 64], "NUM_DECONV_KERNELS": [4, 4],
+        "DECONV_WITH_BIAS": False, "FINAL_CONV_KERNEL": 1})
+    model = build_model(cfg)
+    w, h = cfg.MODEL.IMAGE_SIZE
+    variables = _small_variables(model, (1, h, w, 3))
+    blob = export_onnx_from_cfg(variables, cfg, batch=2)
+
+    flax_fn = jax.jit(lambda x: model.apply(variables, x, train=False))
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (480, 640, 3), np.uint8)
+    boxes = np.array([[100, 100, 300, 400], [50, 60, 200, 380],
+                      [0, 0, 640, 480]])   # 3 boxes → chunk 2 + padded 1
+
+    eng_flax = StandalonePoseEngine(
+        lambda x: np.asarray(flax_fn(x)), (w, h))
+    eng_onnx = StandalonePoseEngine(onnx_model_fn(blob), (w, h))
+    kf, mf = eng_flax.infer_pose(img, boxes)
+    ko, mo = eng_onnx.infer_pose(img, boxes)
+    np.testing.assert_allclose(ko, kf, atol=1e-3)
+    np.testing.assert_allclose(mo, mf, rtol=1e-3, atol=1e-4)
+
+
 def test_tolerant_loader_suffix_alignment(tmp_path):
     from udp_pose_tpu.config import default_config
     from udp_pose_tpu.models import build_model

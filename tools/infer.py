@@ -35,6 +35,10 @@ def parse_args():
     p.add_argument("--no-save", action="store_true")
     p.add_argument("--show-fps", action="store_true")
     p.add_argument("--person-class", type=int, default=0)
+    p.add_argument("--fused", action="store_true",
+                   help="compile detect+pose into ONE device dispatch per "
+                        "frame (engine/fused.py; needs --detector)")
+    p.add_argument("--max-persons", type=int, default=16)
     p.add_argument("opts", nargs=argparse.REMAINDER)
     return p.parse_args()
 
@@ -50,11 +54,27 @@ def main():
     from udp_pose_tpu.engine.pose_engine import UdpPosePipeline
 
     cfg = load_config(args.pose_cfg, args.opts)
-    pose = UdpPosePipeline(cfg, args.pose_weights or None)
+    if args.fused and not args.detector:
+        raise SystemExit("--fused needs --detector")
+    fused = None
+    if args.fused:
+        from udp_pose_tpu.engine.fused import FusedDetectPose
+        from udp_pose_tpu.utils.checkpoint import load_weights
+        w = load_weights(args.detector_weights) \
+            if args.detector_weights else None
+        fused = FusedDetectPose(
+            cfg, args.pose_weights or None,
+            yolo_variant=args.detector.replace("yolov5", ""),
+            yolo_weights=w, max_persons=args.max_persons,
+            conf_thres=args.conf_thres, iou_thres=args.iou_thres,
+            person_class=args.person_class)
+        pose = fused._pose
+    else:
+        pose = UdpPosePipeline(cfg, args.pose_weights or None)
     label_det = (LabelBoxDetector(args.bbox_dir, args.person_class)
                  if args.bbox_dir else None)
     yolo_det = None
-    if args.detector:
+    if args.detector and not args.fused:
         from udp_pose_tpu.engine.detector import build_flax_yolo_detector
         from udp_pose_tpu.utils.checkpoint import load_weights
         variant = args.detector.replace("yolov5", "")
@@ -77,6 +97,11 @@ def main():
 
     def process(frame, path=None):
         rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        if fused is not None and not (label_det and path):
+            fps.start()
+            out = fused.infer_frame(rgb)
+            fps.stop(sync_value=out["keypoints"], debug=args.show_fps)
+            return pose.draw_keypoints(frame, out["keypoints"])
         boxes = boxes_for(rgb, path)
         if boxes is None:
             return frame

@@ -16,6 +16,43 @@ import numpy as np
 from ..core.train import IMAGENET_MEAN, IMAGENET_STD
 
 
+def onnx_model_fn(model_or_path) -> Callable:
+    """Backend over an exported ``.onnx`` artifact — the counterpart of the
+    reference's onnxruntime engine (tools/infer_standalone.py:110-127),
+    executed by the in-repo opset-11 evaluator.
+
+    Accepts a path or serialized bytes.  Takes/returns NHWC; the graph
+    computes NCHW.  Inputs are chunked/padded to the graph's fixed batch,
+    so any person count works.
+    """
+    from ..export.onnx_eval import run_model
+    from ..export.onnx_pb import load_model
+
+    if isinstance(model_or_path, str):
+        with open(model_or_path, "rb") as f:
+            model_or_path = f.read()
+    model = load_model(model_or_path)
+    in_name, in_shape = model.graph.inputs[0]
+    out_name = model.graph.outputs[0][0]
+    gb = int(in_shape[0])
+
+    def fn(x_nhwc):
+        x = np.transpose(np.asarray(x_nhwc, np.float32), (0, 3, 1, 2))
+        outs = []
+        for i in range(0, x.shape[0], gb):
+            chunk = x[i:i + gb]
+            n = chunk.shape[0]
+            if n < gb:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((gb - n, *chunk.shape[1:]),
+                                     np.float32)])
+            y = run_model(model, {in_name: chunk})[out_name][:n]
+            outs.append(y)
+        return np.transpose(np.concatenate(outs), (0, 2, 3, 1))
+
+    return fn
+
+
 class StandalonePoseEngine:
     def __init__(self, model_fn: Callable, input_wh: Tuple[int, int] = (192, 256)):
         self.model_fn = model_fn

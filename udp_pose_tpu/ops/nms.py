@@ -133,29 +133,30 @@ def soft_oks_nms(kpts, scores, areas, thresh, sigmas=None, in_vis_thre=None,
 # jit variant (on-device detector path, fixed shapes)
 # ---------------------------------------------------------------------------
 
-def _iou_matrix(boxes):
-    """(N,4) xyxy → (N,N) IoU with the +1 area convention."""
+def _iou_matrix(boxes, plus_one=True):
+    """(N,4) xyxy → (N,N) IoU (+1 pixel-area convention by default)."""
+    off = 1.0 if plus_one else 0.0
     x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
-    areas = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)
+    areas = (x2 - x1 + off) * (y2 - y1 + off)
     xx1 = jnp.maximum(x1[:, None], x1[None, :])
     yy1 = jnp.maximum(y1[:, None], y1[None, :])
     xx2 = jnp.minimum(x2[:, None], x2[None, :])
     yy2 = jnp.minimum(y2[:, None], y2[None, :])
-    inter = (jnp.maximum(0.0, xx2 - xx1 + 1.0) *
-             jnp.maximum(0.0, yy2 - yy1 + 1.0))
+    inter = (jnp.maximum(0.0, xx2 - xx1 + off) *
+             jnp.maximum(0.0, yy2 - yy1 + off))
     return inter / (areas[:, None] + areas[None, :] - inter)
 
 
-@partial(jax.jit, static_argnames=("max_out",))
-def nms_jax(boxes, scores, iou_thresh, max_out):
+@partial(jax.jit, static_argnames=("max_out", "plus_one"))
+def nms_jax(boxes, scores, iou_thresh, max_out, plus_one=True):
     """Fixed-shape greedy NMS on device.
 
     boxes (N, 4) xyxy, scores (N,) — padding rows must carry score -inf.
     Returns (keep_idx (max_out,) int32 padded with -1, keep_mask (N,) bool).
-    Greedy order and +1-area IoU match :func:`nms_np`.
-    """
+    Greedy order matches :func:`nms_np`; ``plus_one=False`` gives the
+    plain-IoU semantics of the YOLO path (boxes.py:153)."""
     n = boxes.shape[0]
-    iou = _iou_matrix(boxes)
+    iou = _iou_matrix(boxes, plus_one=plus_one)
 
     def body(_, state):
         alive, suppressed, keep_idx, kcount = state
