@@ -62,7 +62,12 @@ def main():
             variables, unused = tc.convert_pose_hrnet(sd, stages,
                                                       psa="psa" in name)
         elif name == "rsn":
-            variables, unused = tc.convert_rsn(sd, extra.get("STAGE_NUM", 1))
+            variables, unused = tc.convert_rsn(
+                sd, extra.get("STAGE_NUM", 1),
+                layers=tuple(extra.get("LAYERS", (2, 2, 2, 2))),
+                plain=extra.get("PLAIN_BOTTLENECK", False),
+                se=extra.get("USE_SE", False),
+                prm=extra.get("USE_PRM", False))
         elif name.startswith(("pose_shufflenetv2", "pose_mobilenetv3",
                               "pose_mobilevit")):
             variables, unused = tc.convert_pose_mobile(sd, cfg)

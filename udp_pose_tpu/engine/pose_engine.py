@@ -97,7 +97,12 @@ class UdpPosePipeline:
                 for k in ("STAGE2", "STAGE3", "STAGE4"))
             v, _ = tc.convert_pose_hrnet(sd, stages, psa="psa" in name)
         elif name == "rsn":
-            v, _ = tc.convert_rsn(sd, extra.get("STAGE_NUM", 1))
+            v, _ = tc.convert_rsn(
+                sd, extra.get("STAGE_NUM", 1),
+                layers=tuple(extra.get("LAYERS", (2, 2, 2, 2))),
+                plain=extra.get("PLAIN_BOTTLENECK", False),
+                se=extra.get("USE_SE", False),
+                prm=extra.get("USE_PRM", False))
         elif name.startswith(("pose_shufflenetv2", "pose_mobilenetv3",
                               "pose_mobilevit")):
             v, _ = tc.convert_pose_mobile(sd, self.cfg)
