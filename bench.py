@@ -101,14 +101,17 @@ def main():
         "notes": "full pipeline: normalize + fwd(2B folded flip) + unflip + "
                  "UDP offset decode; bf16 compute; vs_baseline anchors to "
                  "est. 350 crops/s PyTorch-A100 fp32 (target >5x => 5.0); "
+                 "train @ B=128 (knee; see DESIGN.md); "
                  "train = HRNet-w32 offset fwd+bwd+adam @ B=64",
     }
     print(json.dumps(result), flush=True)
 
 
-def bench_train(jax, jnp, batch=64):
+def bench_train(jax, jnp, batch=128):
     """HRNet-w32 offset train-step samples/s (+ achieved TFLOP/s at
-    3x fwd-FLOPs per step; fwd = 7.16 GF/crop, BASELINE.md)."""
+    3x fwd-FLOPs per step; fwd = 7.16 GF/crop, BASELINE.md).
+    B=128 is the measured knee: 804.9 (B=64) → 1297.7 (B=128) → 1227.9
+    (B=256) samples/s."""
     from __graft_entry__ import _hrnet_w32_cfg
     from udp_pose_tpu.core.loss import make_loss_fn
     from udp_pose_tpu.core.train import (create_train_state, make_optimizer,

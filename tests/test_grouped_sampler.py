@@ -83,3 +83,35 @@ def test_aspect_ratio_group_ids_from_db():
 
     ids = aspect_ratio_group_ids(_DS())
     assert ids.tolist() == [1, 0, 1]
+
+
+def test_grouped_sharded_lockstep():
+    """Sharded grouped loading must yield the SAME batch count on every
+    shard (collective lockstep under multi-host; shards truncate to the
+    global minimum) while preserving group purity."""
+    from udp_pose_tpu.data.base import epoch_loader
+
+    class _DS:
+        def __init__(self, n):
+            self.n = n
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            return {"idx": np.array([i])}
+
+    rng = np.random.default_rng(0)
+    group_ids = rng.integers(0, 2, 37)
+    for num_shards in (2, 3):
+        counts = []
+        for si in range(num_shards):
+            batches = list(epoch_loader(_DS(37), 4, shuffle=True, seed=5,
+                                        shard_index=si,
+                                        num_shards=num_shards,
+                                        group_ids=group_ids))
+            for b in batches:
+                gids = group_ids[np.asarray(b["idx"]).ravel()]
+                assert len(set(gids.tolist())) == 1   # group-pure
+            counts.append(len(batches))
+        assert len(set(counts)) == 1, counts

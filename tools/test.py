@@ -62,9 +62,14 @@ def main():
             r, jnp.zeros((1, h, w, 3)), train=False))(jax.random.PRNGKey(0))
 
     mesh = None
-    if len(jax.local_devices()) > 1 and jax.process_count() == 1:
+    if len(jax.local_devices()) > 1:
         from udp_pose_tpu.parallel import make_mesh
-        mesh = make_mesh(cfg.TPU.MESH.DATA, cfg.TPU.MESH.MODEL)
+        # multi-host: each process evals its own data shard, so the mesh
+        # spans only ITS devices (a per-process local computation) — all
+        # local chips stay busy without cross-process collectives
+        local = (jax.local_devices() if jax.process_count() > 1 else None)
+        mesh = make_mesh(cfg.TPU.MESH.DATA if local is None else -1,
+                         cfg.TPU.MESH.MODEL, devices=local)
         logger.info(f"=> sharding eval over mesh {dict(mesh.shape)}")
     shard_index, num_shards = process_shard_info()
     if num_shards > 1:

@@ -126,7 +126,10 @@ def main():
         """WORKERS>0 → grain multiprocess loader; else in-process loader.
         Each host iterates only its shard (epoch-seeded, deterministic —
         replaces DistributedSampler)."""
-        if cfg.WORKERS > 0:
+        if cfg.WORKERS > 0 and cfg.DATASET.ASPECT_RATIO_GROUPING:
+            logger.warning("ASPECT_RATIO_GROUPING needs the in-process "
+                           "loader; ignoring WORKERS>0 for grouping")
+        elif cfg.WORKERS > 0:
             try:
                 from udp_pose_tpu.data.grain_loader import grain_loader
                 return grain_loader(train_ds, local_batch, seed=epoch,
@@ -162,7 +165,14 @@ def main():
             resampling (cvpack iteration_based_batch_sampler.py:5-31)."""
             p = 0
             while True:
-                yield from make_epoch_iter(p)
+                got = 0
+                for b in make_epoch_iter(p):
+                    got += 1
+                    yield b
+                if not got:
+                    raise RuntimeError(
+                        f"epoch {p} produced no batches (dataset size "
+                        f"{len(train_ds)} < local batch {local_batch}?)")
                 p += 1
 
         batches = infinite_batches()
@@ -240,9 +250,20 @@ def main():
                 loss_avg = float(loss_sum) / loss_cnt
                 if not is_rsn:
                     # train-time PCK@0.5 on heatmap argmax
-                    # (reference evaluate.py:41-71; offset → ::3 channels)
+                    # (reference evaluate.py:41-71; offset → ::3 channels).
+                    # Fetch only this process's rows — the output is a
+                    # global array under multi-host, and non-addressable
+                    # shards cannot be np.asarray'd.
                     from udp_pose_tpu.core.accuracy import pck_accuracy
-                    hm = np.asarray(metrics["output"])
+                    out = metrics["output"]
+                    parts, seen = [], set()
+                    for s in sorted(out.addressable_shards,
+                                    key=lambda s: s.index[0].start or 0):
+                        st = s.index[0].start or 0
+                        if st not in seen:   # skip replicated copies
+                            seen.add(st)
+                            parts.append(np.asarray(s.data))
+                    hm = np.concatenate(parts, axis=0)
                     tgt = batch["target"]
                     if cfg.MODEL.TARGET_TYPE == "offset":
                         hm, tgt = hm[:, ::3], tgt[:, ::3]

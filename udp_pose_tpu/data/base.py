@@ -262,13 +262,26 @@ def epoch_loader(dataset, batch_size, shuffle=True, seed=0, drop_last=True,
     idx = np.arange(n)
     if shuffle:
         idx = np.random.default_rng(seed).permutation(n)
+    padded = idx
     if num_shards > 1:
         total = ((n + num_shards - 1) // num_shards) * num_shards
-        idx = np.concatenate([idx, idx[: total - n]])
-        idx = idx[shard_index::num_shards]
+        padded = np.concatenate([idx, idx[: total - n]])
+        idx = padded[shard_index::num_shards]
     if group_ids is not None:
-        for chunk in grouped_batch_indices(idx, group_ids, batch_size,
-                                           drop_uneven=drop_last):
+        batches = list(grouped_batch_indices(idx, group_ids, batch_size,
+                                             drop_uneven=drop_last))
+        if num_shards > 1:
+            # lockstep: group composition varies per shard, so shards can
+            # produce different batch counts; every host deterministically
+            # recomputes all shards' counts and truncates to the minimum,
+            # keeping collective steps aligned across processes.
+            counts = []
+            for si in range(num_shards):
+                sidx = padded[si::num_shards]
+                counts.append(sum(1 for _ in grouped_batch_indices(
+                    sidx, group_ids, batch_size, drop_uneven=drop_last)))
+            batches = batches[:min(counts)]
+        for chunk in batches:
             yield collate([dataset[int(i)] for i in chunk])
         return
     end = (len(idx) // batch_size) * batch_size if drop_last else len(idx)

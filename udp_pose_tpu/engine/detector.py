@@ -85,7 +85,8 @@ def build_flax_yolo_detector(variant="n", weights=None, input_size=640,
     def model_fn(x):
         pred = model.apply(weights, x, train=False)
         if device_topk:        # single-frame path (B=1)
-            _, idx = jax.lax.top_k(pred[0, :, 4], device_topk)
+            k = min(device_topk, pred.shape[1])
+            _, idx = jax.lax.top_k(pred[0, :, 4], k)
             pred = pred[0][idx][None]
         return pred
 

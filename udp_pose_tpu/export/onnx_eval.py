@@ -107,9 +107,13 @@ def _exec(node: NodeP, env, F, torch):
                          stride=[int(s) for s in a.get("strides", [1, 1])])
     elif op == "AveragePool":
         t, l, b, r = _pads4(node)
-        x = F.pad(i[0], (l, r, t, b))
-        y = F.avg_pool2d(x, [int(k) for k in a["kernel_shape"]],
-                         stride=[int(s) for s in a.get("strides", [1, 1])])
+        # ONNX default count_include_pad=0: pads are excluded from the
+        # divisor, unlike zero-pad + avg_pool2d
+        assert t == b and l == r, "asymmetric AveragePool pads unsupported"
+        assert not int(a.get("count_include_pad", 0)), "unsupported"
+        y = F.avg_pool2d(i[0], [int(k) for k in a["kernel_shape"]],
+                         stride=[int(s) for s in a.get("strides", [1, 1])],
+                         padding=[t, l], count_include_pad=False)
     elif op == "GlobalAveragePool":
         y = i[0].mean(dim=(2, 3), keepdim=True)
     elif op == "Resize":

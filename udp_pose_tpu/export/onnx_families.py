@@ -24,6 +24,22 @@ from .onnx_build import GraphBuilder
 _DECONV_GEOM = {4: (1, 0), 3: (1, 1), 2: (0, 0)}
 
 
+def deconv_head(g: GraphBuilder, x: str, prefix: str = "deconv_layers"):
+    """SimpleBaseline ConvTranspose-BN-ReLU chain (pose_resnet.py:168-193);
+    returns (out, ×2-upsample count)."""
+    i = n = 0
+    while f"{prefix}.{i}.weight" in g.sd:
+        k = int(g.sd[f"{prefix}.{i}.weight"].shape[2])
+        pad, out_pad = _DECONV_GEOM[k]
+        x = g.conv_transpose(x, f"{prefix}.{i}", stride=2, pad=pad)
+        if out_pad:
+            g.nodes[-1].attrs["output_padding"] = [out_pad, out_pad]
+        x = g.relu(g.bn(x, f"{prefix}.{i + 1}"))
+        i += 3
+        n += 1
+    return x, n
+
+
 def _layernorm_c11(g: GraphBuilder, x: str, tp: str,
                    eps: float = 1e-5) -> str:
     """torch LayerNorm([C,1,1]) on a (B,C,1,1) tensor, decomposed
@@ -31,7 +47,7 @@ def _layernorm_c11(g: GraphBuilder, x: str, tp: str,
     mu = g.node("ReduceMean", [x], axes=[1, 2, 3], keepdims=1)
     d = g.node("Sub", [x, mu])
     var = g.node("ReduceMean", [g.mul(d, d)], axes=[1, 2, 3], keepdims=1)
-    eps_c = g.const("ln_eps", np.asarray([eps], np.float32))
+    eps_c = g.const(f"ln_eps_{eps:g}", np.asarray([eps], np.float32))
     denom = g.node("Sqrt", [g.add(var, eps_c)])
     y = g.node("Div", [d, denom])
     y = g.mul(y, g.weight(f"{tp}.weight"))
@@ -125,15 +141,7 @@ def build_pose_resnet(sd: Dict[str, np.ndarray], num_layers: int,
                 x = _bottleneck(g, x, f"layer{li + 1}.{bi}", s)
             else:
                 x = _basic_block(g, x, f"layer{li + 1}.{bi}", s, hw=cur)
-    i = 0
-    while f"deconv_layers.{i}.weight" in sd:
-        k = int(sd[f"deconv_layers.{i}.weight"].shape[2])
-        pad, out_pad = _DECONV_GEOM[k]
-        x = g.conv_transpose(x, f"deconv_layers.{i}", stride=2, pad=pad)
-        if out_pad:
-            g.nodes[-1].attrs["output_padding"] = [out_pad, out_pad]
-        x = g.relu(g.bn(x, f"deconv_layers.{i + 1}"))
-        i += 3
+    x, _ = deconv_head(g, x)
     pad = 1 if final_conv_kernel == 3 else 0
     x = g.conv(x, "final_layer", pad=pad, out="output")
 

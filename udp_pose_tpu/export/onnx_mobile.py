@@ -27,7 +27,7 @@ from typing import Dict
 import numpy as np
 
 from .onnx_build import GraphBuilder
-from .onnx_families import _DECONV_GEOM
+from .onnx_families import deconv_head as _deconv_head
 
 # ---------------------------------------------------------------- helpers
 
@@ -243,7 +243,7 @@ def _ln_lastdim(g: GraphBuilder, x: str, tp: str, ndim: int,
     mu = g.node("ReduceMean", [x], axes=[ax], keepdims=1)
     d = g.node("Sub", [x, mu])
     var = g.node("ReduceMean", [g.mul(d, d)], axes=[ax], keepdims=1)
-    eps_c = g.const("ln_eps", np.asarray([eps], np.float32))
+    eps_c = g.const(f"ln_eps_{eps:g}", np.asarray([eps], np.float32))
     y = g.node("Div", [d, g.node("Sqrt", [g.add(var, eps_c)])])
     y = g.mul(y, g.weight(f"{tp}.weight"))
     return g.add(y, g.weight(f"{tp}.bias"))
@@ -332,7 +332,7 @@ def _groupnorm1(g: GraphBuilder, x: str, tp: str, channels: int,
     mu = g.node("ReduceMean", [x], axes=[1, 2, 3], keepdims=1)
     d = g.node("Sub", [x, mu])
     var = g.node("ReduceMean", [g.mul(d, d)], axes=[1, 2, 3], keepdims=1)
-    eps_c = g.const("ln_eps", np.asarray([eps], np.float32))
+    eps_c = g.const(f"ln_eps_{eps:g}", np.asarray([eps], np.float32))
     y = g.node("Div", [d, g.node("Sqrt", [g.add(var, eps_c)])])
     y = g.mul(y, g.reshape(g.weight(f"{tp}.weight"), (1, channels, 1, 1)))
     return g.add(y, g.reshape(g.weight(f"{tp}.bias"), (1, channels, 1, 1)))
@@ -401,21 +401,6 @@ def _emit_mobilevitv2(g: GraphBuilder, x: str, p: str, width: float,
 
 
 # ------------------------------------------------------------------ heads
-
-
-def _deconv_head(g: GraphBuilder, x: str):
-    """SimpleBaseline deconv chain; returns (out, ×2-upsample count)."""
-    i = n = 0
-    while f"deconv_layers.{i}.weight" in g.sd:
-        k = int(g.sd[f"deconv_layers.{i}.weight"].shape[2])
-        pad, out_pad = _DECONV_GEOM[k]
-        x = g.conv_transpose(x, f"deconv_layers.{i}", stride=2, pad=pad)
-        if out_pad:
-            g.nodes[-1].attrs["output_padding"] = [out_pad, out_pad]
-        x = g.relu(g.bn(x, f"deconv_layers.{i + 1}"))
-        i += 3
-        n += 1
-    return x, n
 
 
 def _pixel_shuffle_head(g: GraphBuilder, x: str, n_duc: int):
