@@ -170,3 +170,41 @@ def test_pose_pipeline_loads_reference_pth(tmp_path):
     kps, maxvals = pipe.infer_pose(frame, boxes)
     assert kps.shape == (1, 17, 2)
     assert np.isfinite(kps).all()
+
+
+def test_pose_pipeline_mesh_sharded_matches_single():
+    """UdpPosePipeline(mesh=...) shards crop batches over the 'data' axis
+    (multi-chip serving); outputs must equal the single-device pipeline."""
+    import jax
+    from udp_pose_tpu.config import default_config
+    from udp_pose_tpu.engine.pose_engine import UdpPosePipeline
+    from udp_pose_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+
+    cfg = default_config()
+    cfg.MODEL.NAME = "pose_resnet"
+    cfg.DATASET.DATASET = "coco"
+    cfg.MODEL.IMAGE_SIZE = [96, 128]
+    cfg.MODEL.HEATMAP_SIZE = [24, 32]
+    cfg.MODEL.EXTRA.merge_from_dict({
+        "NUM_LAYERS": 18, "NUM_DECONV_LAYERS": 3,
+        "NUM_DECONV_FILTERS": [64, 64, 64],
+        "NUM_DECONV_KERNELS": [4, 4, 4],
+        "DECONV_WITH_BIAS": False, "FINAL_CONV_KERNEL": 1})
+    cfg.TEST.FLIP_TEST = True
+    cfg.TPU.DTYPE = "float32"
+
+    single = UdpPosePipeline(cfg, weights=None)
+    sharded = UdpPosePipeline(cfg, weights=single.variables,
+                              mesh=make_mesh(-1, 1))
+
+    rng = np.random.default_rng(17)
+    frame = rng.integers(0, 255, (480, 640, 3), np.uint8)
+    boxes = np.stack([[40 + 60 * i, 50, 140 + 60 * i, 420]
+                      for i in range(6)]).astype(np.float32)
+    k1, m1 = single.infer_pose(frame, boxes)
+    k2, m2 = sharded.infer_pose(frame, boxes)
+    np.testing.assert_allclose(k2, k1, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(m2, m1, rtol=1e-5, atol=1e-5)

@@ -42,12 +42,16 @@ class UdpPosePipeline:
     (smoke mode).
     """
 
-    def __init__(self, cfg, weights=None, flip_test=None):
+    def __init__(self, cfg, weights=None, flip_test=None, mesh=None):
         import jax
         import jax.numpy as jnp
         from ..config import Node, load_config
         from ..core.infer import COCO_FLIP_PAIRS, MPII_FLIP_PAIRS
         from ..models import build_model
+
+        #: optional jax.sharding.Mesh — crop batches shard over its 'data'
+        #: axis for multi-chip serving (weights + frame replicated)
+        self.mesh = mesh
 
         if not isinstance(cfg, Node):
             cfg = load_config(cfg)
@@ -124,7 +128,6 @@ class UdpPosePipeline:
         pairs = tuple(map(tuple, self.flip_pairs))
         flip = self._flip
 
-        @jax.jit
         def run(variables, frame, center, scale):
             mats = jax.vmap(lambda c, s: classic_affine_matrix(
                 c, s, 0.0, (w, h), inv=True))(center, scale)
@@ -145,7 +148,13 @@ class UdpPosePipeline:
                 post_process=cfg.TEST.POST_PROCESS, kpd=cfg.LOSS.KPD)
             return preds, maxvals
 
-        return run
+        if self.mesh is not None:
+            from ..parallel import batch_sharding, replicated
+            bs = batch_sharding(self.mesh)
+            rep = replicated(self.mesh)
+            return jax.jit(run, in_shardings=(rep, rep, bs, bs),
+                           out_shardings=rep)
+        return jax.jit(run)
 
     def infer_pose(self, img, boxes):
         """img (H, W, 3) RGB uint8; boxes (N, ≥4) xyxy.
@@ -160,6 +169,10 @@ class UdpPosePipeline:
                     np.zeros((0, self.num_joints, 1), np.float32))
         center, scale = xyxy_to_cs(boxes[:, :4], self.input_wh)
         bucket = _next_bucket(n)
+        if self.mesh is not None:
+            # pad to a data-axis-divisible bucket so crops shard evenly
+            n_data = self.mesh.shape["data"]
+            bucket = max(bucket, ((bucket + n_data - 1) // n_data) * n_data)
         if self._infer is None:
             self._infer = self._build_infer()
         pad = bucket - n
