@@ -83,28 +83,57 @@ def main():
         if cps > best:
             best, best_batch = cps, batch
 
-    # ---- training-step throughput (fwd+bwd+adam, offset loss) -----------
-    train_sps, train_tfs = bench_train(jax, jnp)
-
-    # ---- end-to-end engine: detect-then-pose serving latency -------------
-    engine_fps = bench_engine(jax)
-
     result = {
         "metric": "crops_per_sec_per_chip_hrnet_w32_256x192_fliptest",
         "value": round(best, 1),
         "unit": "crops/s",
         "vs_baseline": round(best / A100_EST_CROPS_PER_SEC, 3),
         "batch": best_batch,
-        "train_samples_per_sec": round(train_sps, 1),
-        "train_tflops_per_sec": round(train_tfs, 1),
-        "engine_detect_pose_fps": round(engine_fps, 1),
         "notes": "full pipeline: normalize + fwd(2B folded flip) + unflip + "
                  "UDP offset decode; bf16 compute; vs_baseline anchors to "
                  "est. 350 crops/s PyTorch-A100 fp32 (target >5x => 5.0); "
-                 "train @ B=128 (knee; see DESIGN.md); "
-                 "train = HRNet-w32 offset fwd+bwd+adam @ B=64",
+                 "train = HRNet-w32 offset fwd+bwd+adam @ B=128 (knee; "
+                 "DESIGN.md); engine = fused detect+pose on 720p",
     }
+    # Headline is safe from here: a driver timeout (SIGTERM) or a failed
+    # secondary bench still records it.
+    _arm_emergency_dump(result)
+
+    # ---- training-step throughput (fwd+bwd+adam, offset loss) -----------
+    try:
+        train_sps, train_tfs = bench_train(jax, jnp)
+        result["train_samples_per_sec"] = round(train_sps, 1)
+        result["train_tflops_per_sec"] = round(train_tfs, 1)
+    except Exception as e:          # secondary metric must not kill the run
+        log(f"train bench failed: {e!r}")
+
+    # ---- end-to-end engine: detect-then-pose serving latency -------------
+    try:
+        result["engine_detect_pose_fps"] = round(bench_engine(jax), 1)
+    except Exception as e:
+        log(f"engine bench failed: {e!r}")
+
     print(json.dumps(result), flush=True)
+    _DUMPED["done"] = True
+
+
+_DUMPED = {"done": False}
+
+
+def _arm_emergency_dump(result):
+    """On SIGTERM/SIGINT (driver timeout), print the metrics collected so
+    far as the one JSON line instead of dying silently mid-compile."""
+    import signal
+
+    def dump(signum, frame):
+        if not _DUMPED["done"]:
+            result.setdefault("partial", True)
+            print(json.dumps(result), flush=True)
+            _DUMPED["done"] = True
+        raise SystemExit(0)
+
+    signal.signal(signal.SIGTERM, dump)
+    signal.signal(signal.SIGINT, dump)
 
 
 def bench_train(jax, jnp, batch=128):

@@ -105,6 +105,10 @@ def _build_models(cfg, seed=0):
     sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
     if cfg.MODEL.NAME == "pose_resnet":
         variables, unused = convert_pose_resnet(sd, cfg.MODEL.EXTRA.NUM_LAYERS)
+    elif cfg.MODEL.NAME.startswith(("pose_shufflenetv2", "pose_mobilenetv3",
+                                    "pose_mobilevit")):
+        from udp_pose_tpu.utils.torch_convert import convert_pose_mobile
+        variables, unused = convert_pose_mobile(sd, cfg)
     else:
         from udp_pose_tpu.models.hrnet import stage_cfg
         stages = tuple(
@@ -272,6 +276,22 @@ def test_gaussian_gtbbox_noflip(tmp_path):
     """pose_resnet18, gaussian decode, GT boxes, flip test OFF."""
     _case(tmp_path, "pose_resnet", "gaussian",
           use_gt_bbox=True, flip=False, extra=RESNET_EXTRA)
+
+
+SHUFFLE_EXTRA = {
+    "MODEL_SIZE": "Small", "NUM_DECONV_LAYERS": 3,
+    "NUM_DECONV_FILTERS": [128, 128, 128],
+    "NUM_DECONV_KERNELS": [4, 4, 4],
+    "DECONV_WITH_BIAS": False, "FINAL_CONV_KERNEL": 1,
+}
+
+
+def test_mobile_offset_gtbbox_flip(tmp_path):
+    """pose_shufflenetv2_plus, UDP offset decode, GT boxes, flip ON — the
+    mobile zoo through the composed pipeline (possible since the full
+    mobile wrapper converter landed)."""
+    _case(tmp_path, "pose_shufflenetv2_plus", "offset",
+          use_gt_bbox=True, flip=True, extra=SHUFFLE_EXTRA)
 
 
 # ---------------------------------------------------------------------------
