@@ -82,6 +82,29 @@ def main():
     is_rsn = cfg.MODEL.NAME == "rsn"
     state = create_train_state(cfg, model, jax.random.PRNGKey(0),
                                steps_per_epoch)
+    if cfg.MODEL.INIT_WEIGHTS and cfg.MODEL.PRETRAINED:
+        # reference tools/train.py:91-116 → model.init_weights(PRETRAINED):
+        # graft the (possibly backbone-only) checkpoint onto the fresh init
+        if not os.path.isfile(cfg.MODEL.PRETRAINED):
+            raise ValueError(f"{cfg.MODEL.PRETRAINED} does not exist "
+                             "(pose_hrnet.py:503-505 semantics)")
+        from udp_pose_tpu.utils.torch_convert import (_deep_merge,
+                                                      count_leaves,
+                                                      load_pretrained)
+        fresh = {"params": state.params, "batch_stats": state.batch_stats}
+        if cfg.MODEL.PRETRAINED.endswith(".msgpack"):
+            from udp_pose_tpu.utils.checkpoint import load_weights_tolerant
+            w, h = cfg.MODEL.IMAGE_SIZE
+            partial, _skipped = load_weights_tolerant(
+                cfg.MODEL.PRETRAINED, model, (1, h, w, 3))
+            merged = _deep_merge(fresh, partial)
+            n = count_leaves(partial)
+        else:
+            merged, n = load_pretrained(fresh, cfg.MODEL.PRETRAINED, cfg)
+        state = state.replace(params=merged["params"],
+                              batch_stats=merged["batch_stats"])
+        logger.info(f"=> loaded pretrained {cfg.MODEL.PRETRAINED} "
+                    f"({n} leaves)")
     iter_mode = is_rsn and cfg.TRAIN.MAX_ITER > 0
     if is_rsn:
         from udp_pose_tpu.core.rsn import (make_rsn_optimizer,

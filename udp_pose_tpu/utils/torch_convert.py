@@ -95,8 +95,12 @@ class Converter:
     """
 
     def __init__(self, sd: Dict[str, np.ndarray], variables=None,
-                 reverse: bool = False):
+                 reverse: bool = False, tolerant: bool = False):
         self.reverse = reverse
+        #: tolerant (forward only): silently skip mapping units whose torch
+        #: keys are absent — partial/backbone-only checkpoints (the
+        #: reference's strict=False pretrained loads, pose_hrnet.py:497-505)
+        self.tolerant = tolerant
         self.sd = dict(sd) if reverse else sd
         self.params = (variables["params"] if reverse else {})
         self.stats = (variables.get("batch_stats", {}) if reverse else {})
@@ -117,6 +121,8 @@ class Converter:
             if _has(self.params, (*path, "bias")):
                 self.sd[tkey + ".bias"] = _get(self.params, (*path, "bias"))
             return
+        if self.tolerant and (tkey + ".weight") not in self.sd:
+            return
         w = self.sd[tkey + ".weight"]
         self.used.add(tkey + ".weight")
         kernel = convT_kernel(w) if transposed else conv_kernel(w)
@@ -136,6 +142,9 @@ class Converter:
                 self.sd[f"{tkey}.{tsuf}"] = _get(tree, (*path, fsuf))
             self.sd[f"{tkey}.num_batches_tracked"] = np.array(0, np.int64)
             return
+        if self.tolerant and any(f"{tkey}.{t}" not in self.sd
+                                 for t in pairs):
+            return
         for tsuf, (tree, fsuf) in pairs.items():
             _set(tree, (*path, fsuf), self.sd[f"{tkey}.{tsuf}"])
             self.used.add(f"{tkey}.{tsuf}")
@@ -151,6 +160,8 @@ class Converter:
             self.sd[tkey + ".weight"] = w
             self.sd[tkey + ".bias"] = b
             return
+        if self.tolerant and (tkey + ".weight") not in self.sd:
+            return
         _set(self.params, (*path, "scale"), self.sd[tkey + ".weight"].reshape(-1))
         _set(self.params, (*path, "bias"), self.sd[tkey + ".bias"].reshape(-1))
         self.used.update({tkey + ".weight", tkey + ".bias"})
@@ -162,6 +173,8 @@ class Converter:
                 _get(self.params, (*path, "kernel")).T)
             if _has(self.params, (*path, "bias")):
                 self.sd[tkey + ".bias"] = _get(self.params, (*path, "bias"))
+            return
+        if self.tolerant and f"{tkey}.weight" not in self.sd:
             return
         _set(self.params, (*path, "kernel"), self.sd[f"{tkey}.weight"].T)
         self.used.add(f"{tkey}.weight")
@@ -596,6 +609,8 @@ def _convert_mha(cv: Converter, tp: str, fp, dim: int, heads: int):
         cv.sd[f"{tp}.out_proj.bias"] = _get(cv.params,
                                             (*fp, "attn", "out", "bias"))
         return
+    if cv.tolerant and f"{tp}.qkv_proj.weight" not in cv.sd:
+        return
     W = cv.sd[f"{tp}.qkv_proj.weight"]
     b = cv.sd[f"{tp}.qkv_proj.bias"]
     for i, name in enumerate(("query", "key", "value")):
@@ -796,6 +811,112 @@ def convert_pose_mobile(sd: Dict[str, np.ndarray], cfg):
     unused = [k for k in cv.unused()
               if not any(s in k for s in _CLASSIFIER_KEYS)]
     return cv.variables(), unused
+
+
+def _is_map(x):
+    return hasattr(x, "items") and not hasattr(x, "shape")
+
+
+def _deep_merge(base, update):
+    """Leaf-wise overlay of ``update`` onto ``base`` (mappings of
+    mappings; FrozenDicts come back as plain dicts)."""
+    out = dict(base)
+    for k, v in update.items():
+        if k in out and _is_map(out[k]) and _is_map(v):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def count_leaves(tree):
+    return (sum(count_leaves(v) for v in tree.values())
+            if isinstance(tree, dict) else 1)
+
+
+def load_pretrained(variables, pretrained, cfg):
+    """``MODEL.PRETRAINED`` semantics of the reference train CLI: graft a
+    (possibly partial) torch checkpoint onto freshly-initialised flax
+    variables before training.
+
+    Reference behaviour replicated:
+    * hrnet/resnet — filter keys by ``EXTRA.PRETRAINED_LAYERS`` top-level
+      names ('*' = all) and skip ``stage4.2.fuse_layers`` (the pose net's
+      widened last-fuse differs from the classification checkpoint),
+      strict=False load (pose_hrnet.py:473-505, pose_resnet.py deconv
+      head stays fresh).
+    * mobile wrappers — the backbone factory loads the ImageNet
+      checkpoint strict=False (e.g. shufflenetv2_plus.py:359-366,
+      backbones/mobilevit.py:931-935); bare backbone keys are grafted
+      under ``backbone``; a full pose checkpoint (``backbone.``-prefixed)
+      loads wholesale.
+
+    ``pretrained``: path to a .pth/.pt file or a ready state-dict mapping.
+    Returns (merged_variables, n_loaded_leaves).
+    """
+    sd = (load_torch_state_dict(pretrained)
+          if isinstance(pretrained, (str, bytes)) else dict(pretrained))
+    name = cfg.MODEL.NAME
+    extra = cfg.MODEL.EXTRA
+    if name.startswith(("pose_hrnet", "pose_resnet")):
+        pl = list(extra.get("PRETRAINED_LAYERS", ["*"]))
+        if pl and pl[0] != "*":
+            sd = {k: v for k, v in sd.items() if k.split(".")[0] in pl}
+    if name.startswith("pose_hrnet"):
+        # pose_hrnet.py:497 (hard-coded last-module index of w32/w48)
+        sd = {k: v for k, v in sd.items()
+              if "stage4.2.fuse_layers" not in k}
+
+    cv = Converter(sd, tolerant=True)
+    if name.startswith("pose_resnet"):
+        _map_pose_resnet(cv, extra.NUM_LAYERS, psa=name.endswith("_psa"))
+    elif name.startswith("pose_hrnet"):
+        from ..models.hrnet import stage_cfg
+        stages = tuple(
+            stage_cfg(extra[k]["NUM_MODULES"], extra[k]["NUM_BRANCHES"],
+                      extra[k]["BLOCK"], extra[k]["NUM_BLOCKS"],
+                      extra[k]["NUM_CHANNELS"])
+            for k in ("STAGE2", "STAGE3", "STAGE4"))
+        _map_pose_hrnet(cv, stages, psa=name.endswith("_psa"))
+    elif name == "rsn":
+        _map_rsn(cv, extra.get("STAGE_NUM", 1),
+                 layers=tuple(extra.get("LAYERS", (2, 2, 2, 2))),
+                 plain=extra.get("PLAIN_BOTTLENECK", False),
+                 se=extra.get("USE_SE", False),
+                 prm=extra.get("USE_PRM", False))
+    elif name.startswith(("pose_shufflenetv2", "pose_mobilenetv3",
+                          "pose_mobilevit")):
+        if any(k.startswith("backbone.") for k in sd):
+            _map_pose_mobile(cv, cfg)          # full pose checkpoint
+        else:
+            # bare ImageNet backbone: detect the torchvision prefix for
+            # mobilenetv3 ('features.' raw vs '0.' when Sequential-wrapped)
+            tp = ""
+            if "mobilenetv3" in name:
+                tp = ("features." if any(k.startswith("features.")
+                                         for k in sd) else "0.")
+                _map_mobilenetv3_small(cv, tp, ("backbone",))
+            elif "shufflenetv2_plus" in name:
+                from ..models.mobile import SHUFFLENETV2_PLUS_ARCH
+                _map_shufflenetv2(cv, tp, ("backbone",), n_blocks=20,
+                                  arch=SHUFFLENETV2_PLUS_ARCH)
+            elif "shufflenetv2" in name:
+                _map_shufflenetv2(cv, tp, ("backbone",), n_blocks=16)
+            elif "mobilevitv2" in name:
+                _map_mobilevitv2(cv, tp, ("backbone",))
+            else:
+                from ..models.pose_mobile import _mvit_mode
+                _map_mobilevit(cv, _mvit_mode(cfg), tp, ("backbone",))
+    else:
+        raise KeyError(f"no pretrained mapping for model {name!r}")
+
+    loaded = cv.variables()
+    merged = {"params": _deep_merge(variables["params"], loaded["params"])}
+    if "batch_stats" in variables:
+        merged["batch_stats"] = _deep_merge(variables["batch_stats"],
+                                            loaded["batch_stats"])
+    return merged, count_leaves(loaded["params"]) + count_leaves(
+        loaded["batch_stats"])
 
 
 def check_against_model(variables, model, input_shape):
