@@ -39,6 +39,10 @@ def parse_args():
                    help="compile detect+pose into ONE device dispatch per "
                         "frame (engine/fused.py; needs --detector)")
     p.add_argument("--max-persons", type=int, default=16)
+    p.add_argument("--save-pose-txt", action="store_true",
+                   help="directory mode: write reference-format pose label "
+                        "files (x/img_w y/img_h conf per joint, first "
+                        "person, 13 joints — inference_engine.py:314-332)")
     p.add_argument("opts", nargs=argparse.REMAINDER)
     return p.parse_args()
 
@@ -95,12 +99,26 @@ def main():
     os.makedirs(args.save_dir, exist_ok=True)
     fps = FPS()
 
+    def write_pose_txt(path, kps, maxvals, img_hw, n_joints=13):
+        """Reference label format: per-line ``x/w y/h conf`` for the first
+        person's first 13 joints (inference_engine.py:314-332)."""
+        h, w = img_hw
+        txt = os.path.join(
+            args.save_dir,
+            os.path.splitext(os.path.basename(path))[0] + ".txt")
+        with open(txt, "w") as f:
+            for k, mv in zip(kps[0][:n_joints], maxvals[0][:n_joints]):
+                f.write("%f %f %f\n" % (k[0] / w, k[1] / h, float(mv[0])))
+
     def process(frame, path=None):
         rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
         if fused is not None and not (label_det and path):
             fps.start()
             out = fused.infer_frame(rgb)
             fps.stop(sync_value=out["keypoints"], debug=args.show_fps)
+            if args.save_pose_txt and path and len(out["keypoints"]):
+                write_pose_txt(path, out["keypoints"], out["maxvals"],
+                               frame.shape[:2])
             return pose.draw_keypoints(frame, out["keypoints"])
         boxes = boxes_for(rgb, path)
         if boxes is None:
@@ -108,6 +126,8 @@ def main():
         fps.start()
         kps, maxvals = pose.infer_pose(rgb, boxes)
         fps.stop(sync_value=kps, debug=args.show_fps)
+        if args.save_pose_txt and path and len(kps):
+            write_pose_txt(path, kps, maxvals, frame.shape[:2])
         return pose.draw_keypoints(frame, kps)
 
     src = args.source
