@@ -31,6 +31,8 @@ def parse_args():
     p.add_argument("--detector-weights", default="")
     p.add_argument("--conf-thres", type=float, default=0.25)
     p.add_argument("--iou-thres", type=float, default=0.45)
+    p.add_argument("--max-det", type=int, default=300,
+                   help="NMS detection cap (inference_engine.py --max-det)")
     p.add_argument("--save-dir", default="infer_out")
     p.add_argument("--no-save", action="store_true")
     p.add_argument("--show-fps", action="store_true")
@@ -86,7 +88,8 @@ def main():
             if args.detector_weights else None
         yolo_det = build_flax_yolo_detector(
             variant=variant, weights=w, conf_thres=args.conf_thres,
-            iou_thres=args.iou_thres, person_class=args.person_class)
+            iou_thres=args.iou_thres, person_class=args.person_class,
+            max_det=args.max_det)
 
     def boxes_for(frame, path=None):
         if label_det is not None and path is not None:
