@@ -113,6 +113,13 @@ def main():
             for k, mv in zip(kps[0][:n_joints], maxvals[0][:n_joints]):
                 f.write("%f %f %f\n" % (k[0] / w, k[1] / h, float(mv[0])))
 
+    def overlay_fps(img):
+        """pose-FPS text on frames (inference_engine.py:372-386)."""
+        if args.show_fps and fps.fps:
+            cv2.putText(img, f"Pose FPS: {fps.fps}", (10, 30),
+                        cv2.FONT_HERSHEY_SIMPLEX, 1.0, (0, 255, 0), 2)
+        return img
+
     def process(frame, path=None):
         rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
         if fused is not None and not (label_det and path):
@@ -122,7 +129,7 @@ def main():
             if args.save_pose_txt and path and len(out["keypoints"]):
                 write_pose_txt(path, out["keypoints"], out["maxvals"],
                                frame.shape[:2])
-            return pose.draw_keypoints(frame, out["keypoints"])
+            return overlay_fps(pose.draw_keypoints(frame, out["keypoints"]))
         boxes = boxes_for(rgb, path)
         if boxes is None:
             return frame
@@ -131,7 +138,7 @@ def main():
         fps.stop(sync_value=kps, debug=args.show_fps)
         if args.save_pose_txt and path and len(kps):
             write_pose_txt(path, kps, maxvals, frame.shape[:2])
-        return pose.draw_keypoints(frame, kps)
+        return overlay_fps(pose.draw_keypoints(frame, kps))
 
     src = args.source
     if src.startswith("webcam"):
