@@ -103,3 +103,41 @@ def test_fused_empty_frame():
     out = eng.infer_frame(frame)
     assert out["keypoints"].shape == (0, 17, 2)
     assert out["boxes"].shape == (0, 4)
+
+
+@pytest.mark.parametrize("hw", [(240, 320), (480, 640), (720, 1280),
+                                (500, 333)])
+def test_device_letterbox_matches_cv2(hw):
+    """The fused graph's resize+pad must reproduce ops/yolo.letterbox
+    (cv2 INTER_LINEAR + mod-32 value-114 padding) within interpolation
+    noise, so detector inputs are the same in both engines."""
+    import jax
+    import jax.numpy as jnp
+    from udp_pose_tpu.ops.yolo import letterbox
+
+    H, W = hw
+    det = 128
+    rng = np.random.default_rng(11)
+    frame = rng.integers(0, 255, (H, W, 3)).astype(np.uint8)
+    host = letterbox(frame, det).astype(np.float32)
+
+    # replicate the fused graph's static letterbox geometry (fused.py)
+    r = min(det / H, det / W)
+    nH, nW = round(H * r), round(W * r)
+    pH = (det - nH) % 32 / 2
+    pW = (det - nW) % 32 / 2
+    top, bottom = round(pH - 0.1), round(pH + 0.1)
+    left, right = round(pW - 0.1), round(pW + 0.1)
+
+    img = jax.image.resize(jnp.asarray(frame, jnp.float32), (nH, nW, 3),
+                           method="linear", antialias=False)
+    dev = np.asarray(jnp.pad(img, ((top, bottom), (left, right), (0, 0)),
+                             constant_values=114.0))
+    assert dev.shape == host.shape, (dev.shape, host.shape)
+    # identical padding bands
+    if top:
+        np.testing.assert_array_equal(dev[:top], host[:top])
+    # interior: cv2 INTER_LINEAR vs jax half-pixel linear agree closely
+    err = np.abs(dev - host)
+    assert np.mean(err < 2.0) > 0.97, np.mean(err < 2.0)
+    assert err.mean() < 1.0, err.mean()

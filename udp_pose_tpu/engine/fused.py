@@ -102,8 +102,11 @@ class FusedDetectPose:
 
         def run(pose_vars, yolo_vars, frame_u8):
             frame = frame_u8.astype(jnp.float32)
-            # -- device letterbox
-            img = jax.image.resize(frame, (nH, nW, 3), method="linear")
+            # -- device letterbox (antialias=False == cv2 INTER_LINEAR's
+            # plain bilinear sampling; the default antialiased downscale
+            # diverges wildly from the reference preprocessing)
+            img = jax.image.resize(frame, (nH, nW, 3), method="linear",
+                                   antialias=False)
             img = jnp.pad(img, ((top, bottom), (left, right), (0, 0)),
                           constant_values=114.0)
             x_det = img[None] / 255.0
