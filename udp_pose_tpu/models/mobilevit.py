@@ -87,7 +87,8 @@ def unfold_patches(x, ph, pw):
     nh = -(-H // ph)
     nw = -(-W // pw)
     if (nh * ph, nw * pw) != (H, W):
-        x = jax.image.resize(x, (B, nh * ph, nw * pw, C), method="bilinear")
+        x = jax.image.resize(x, (B, nh * ph, nw * pw, C), method="bilinear",
+                             antialias=False)  # torch F.interpolate parity
     x = x.reshape(B, nh, ph, nw, pw, C)
     x = x.transpose(0, 2, 4, 1, 3, 5)           # B, ph, pw, nh, nw, C
     return x.reshape(B, ph * pw, nh * nw, C)
@@ -102,7 +103,8 @@ def fold_patches(p, hw, ph, pw):
     x = x.transpose(0, 3, 1, 4, 2, 5)           # B, nh, ph, nw, pw, C
     x = x.reshape(B, nh * ph, nw * pw, C)
     if (nh * ph, nw * pw) != (H, W):
-        x = jax.image.resize(x, (B, H, W, C), method="bilinear")
+        x = jax.image.resize(x, (B, H, W, C), method="bilinear",
+                             antialias=False)  # torch: no AA on downscale
     return x
 
 
