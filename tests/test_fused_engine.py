@@ -141,3 +141,26 @@ def test_device_letterbox_matches_cv2(hw):
     err = np.abs(dev - host)
     assert np.mean(err < 2.0) > 0.97, np.mean(err < 2.0)
     assert err.mean() < 1.0, err.mean()
+
+
+def test_infer_frames_matches_single():
+    """Batched video mode == per-frame results, one dispatch per chunk."""
+    from udp_pose_tpu.engine.fused import FusedDetectPose
+    cfg = _pose_cfg()
+    eng = FusedDetectPose(cfg, None, yolo_variant="n", max_persons=8,
+                          det_size=128, topk=32, conf_thres=0.25)
+    rows = [(28, 46, 40, 68, 0.95, 0.95), (90, 40, 30, 60, 0.80, 0.90)]
+    eng.yolo = _StubYolo(_mk_pred(rows))
+    rng = np.random.default_rng(9)
+    frames = rng.integers(0, 255, (3, 240, 320, 3)).astype(np.uint8)
+
+    batched = eng.infer_frames(frames)
+    assert len(batched) == 3
+    for f in range(3):
+        single = eng.infer_frame(frames[f])
+        np.testing.assert_allclose(batched[f]["boxes"], single["boxes"],
+                                   atol=1e-4)
+        np.testing.assert_allclose(batched[f]["keypoints"],
+                                   single["keypoints"], rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(batched[f]["scores"], single["scores"],
+                                   rtol=1e-5, atol=1e-6)

@@ -41,12 +41,32 @@ def parse_args():
                    help="compile detect+pose into ONE device dispatch per "
                         "frame (engine/fused.py; needs --detector)")
     p.add_argument("--max-persons", type=int, default=16)
+    p.add_argument("--chunk", type=int, default=1,
+                   help="with --fused on video files: frames per dispatch "
+                        "(batched offline-video mode; amortises host "
+                        "round-trips over the chunk)")
     p.add_argument("--save-pose-txt", action="store_true",
                    help="directory mode: write reference-format pose label "
                         "files (x/img_w y/img_h conf per joint, first "
                         "person, 13 joints — inference_engine.py:314-332)")
     p.add_argument("opts", nargs=argparse.REMAINDER)
     return p.parse_args()
+
+
+def _flush_chunk(frames_bgr, fused, pose, writer, args, fps, keep=None):
+    """Run one batched fused dispatch over a chunk of BGR frames and write
+    the annotated results (keep: trim a padded tail chunk)."""
+    import cv2
+    import numpy as np
+    rgb = np.stack([cv2.cvtColor(f, cv2.COLOR_BGR2RGB)
+                    for f in frames_bgr])
+    fps.start()
+    results = fused.infer_frames(rgb)
+    fps.stop(sync_value=results[0]["keypoints"], debug=args.show_fps)
+    for frame, res in list(zip(frames_bgr, results))[:keep]:
+        out = pose.draw_keypoints(frame, res["keypoints"])
+        if not args.no_save:
+            writer.update(out)
 
 
 def main():
@@ -162,10 +182,24 @@ def main():
         reader = VideoReader(src)
         writer = VideoWriter(os.path.join(
             args.save_dir, "out_" + os.path.basename(src)), reader.fps)
-        for frame in reader:
-            out = process(frame)
-            if not args.no_save:
-                writer.update(out)
+        if fused is not None and args.chunk > 1:
+            # batched offline-video mode: pad the tail chunk so one jit
+            # cache entry serves the whole file
+            pending = []
+            for frame in reader:
+                pending.append(frame)
+                if len(pending) == args.chunk:
+                    _flush_chunk(pending, fused, pose, writer, args, fps)
+                    pending = []
+            if pending:
+                pad = [pending[-1]] * (args.chunk - len(pending))
+                _flush_chunk(pending + pad, fused, pose, writer, args, fps,
+                             keep=len(pending))
+        else:
+            for frame in reader:
+                out = process(frame)
+                if not args.no_save:
+                    writer.update(out)
         writer.write()
     else:
         frame = cv2.imread(src)

@@ -189,6 +189,32 @@ class FusedDetectPose:
         return {"keypoints": preds[:n], "maxvals": maxvals[:n],
                 "boxes": boxes[:n], "scores": scores[:n]}
 
+    def infer_frames(self, frames):
+        """Batched video mode: frames (F, H, W, 3) RGB uint8 → list of F
+        per-frame dicts.  The whole chunk runs as ONE dispatch (the
+        single-frame graph vmapped over F), amortising per-dispatch cost
+        over the chunk — the offline-video throughput shape the
+        reference's frame-by-frame loop can't express.  One jit cache
+        entry per (F, H, W)."""
+        import jax
+        frames = np.asarray(frames)
+        F, H, W = frames.shape[:3]
+        key = ("batch", F, H, W)
+        run = self._runs.get(key)
+        if run is None:
+            inner = self._runs.get((H, W)) or self._build(H, W)
+            self._runs[(H, W)] = inner
+            run = self._runs[key] = jax.jit(
+                jax.vmap(inner, in_axes=(None, None, 0)))
+        preds, maxvals, boxes, scores, valid = jax.device_get(
+            run(self._pose.variables, self.yolo_vars, frames))
+        out = []
+        for f in range(F):
+            n = int(valid[f].astype(np.int32).sum())
+            out.append({"keypoints": preds[f, :n], "maxvals": maxvals[f, :n],
+                        "boxes": boxes[f, :n], "scores": scores[f, :n]})
+        return out
+
     def draw_keypoints(self, image, keypoints, radius=1):
         from .io import draw_keypoints
         draw_keypoints(image, keypoints, self.skeleton, radius)
