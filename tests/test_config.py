@@ -70,3 +70,29 @@ def test_all_reference_experiment_yamls_parse():
         assert cfg.MODEL.NAME
         n_experiment += 1
     assert n_experiment >= 22
+
+
+def test_shipped_configs_load_and_build():
+    """Every canonical yaml in configs/ loads and its model builds (shapes
+    via eval_shape — no compilation)."""
+    import glob
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from udp_pose_tpu.models import build_model
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    yamls = sorted(glob.glob(os.path.join(root, "**", "*.yaml"),
+                             recursive=True))
+    assert len(yamls) >= 10
+    for y in yamls:
+        cfg = load_config(y)
+        model = build_model(cfg)
+        w, h = cfg.MODEL.IMAGE_SIZE
+        shapes = jax.eval_shape(
+            lambda r, m=model, hh=h, ww=w: m.init(
+                r, jnp.zeros((1, hh, ww, 3), jnp.float32), train=False),
+            jax.random.PRNGKey(0))
+        assert shapes["params"], y
