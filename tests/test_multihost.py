@@ -92,10 +92,12 @@ def test_two_process_cli_eval_matches_single(tmp_path):
     with open(_results_file(out1)) as f:
         single = json.load(f)
 
-    # 2-process run of the same CLI
+    # 2-process run of the same CLI; 2 local devices per process so the
+    # per-process local-mesh eval branch (tools/test.py) is exercised too
     out2 = str(tmp_path / "multi")
     cfg2 = _write_cfg(tmp_path, out2, root)
-    common = {"JAX_NUM_PROCESSES": "2", "JAX_COORDINATOR": "localhost:12417"}
+    common = {"JAX_NUM_PROCESSES": "2", "JAX_COORDINATOR": "localhost:12417",
+              "XLA_FLAGS": "--xla_force_host_platform_device_count=2"}
     procs = [_run_cli(cfg2, dict(common, JAX_PROCESS_ID=str(i)))
              for i in range(2)]
     texts = [p.communicate(timeout=540)[0] for p in procs]
