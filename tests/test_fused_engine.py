@@ -164,3 +164,32 @@ def test_infer_frames_matches_single():
                                    single["keypoints"], rtol=1e-4, atol=1e-3)
         np.testing.assert_allclose(batched[f]["scores"], single["scores"],
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_infer_frames_mesh_sharded():
+    """Video chunks shard frames over the mesh 'data' axis; results equal
+    the unsharded batched mode (incl. tail padding to divisibility)."""
+    from udp_pose_tpu.engine.fused import FusedDetectPose
+    from udp_pose_tpu.parallel import make_mesh
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+
+    cfg = _pose_cfg()
+    rows = [(28, 46, 40, 68, 0.95, 0.95), (90, 40, 30, 60, 0.80, 0.90)]
+    plain = FusedDetectPose(cfg, None, yolo_variant="n", max_persons=8,
+                            det_size=128, topk=32)
+    plain.yolo = _StubYolo(_mk_pred(rows))
+    sharded = FusedDetectPose(cfg, plain._pose.variables, yolo_variant="n",
+                              yolo_weights=plain.yolo_vars, max_persons=8,
+                              det_size=128, topk=32, mesh=make_mesh(-1, 1))
+    sharded.yolo = plain.yolo
+
+    rng = np.random.default_rng(21)
+    frames = rng.integers(0, 255, (3, 240, 320, 3)).astype(np.uint8)
+    a = plain.infer_frames(frames)       # F=3: sharded pads to mesh size
+    b = sharded.infer_frames(frames)
+    assert len(a) == len(b) == 3
+    for fa, fb in zip(a, b):
+        np.testing.assert_allclose(fb["boxes"], fa["boxes"], atol=1e-4)
+        np.testing.assert_allclose(fb["keypoints"], fa["keypoints"],
+                                   rtol=1e-4, atol=1e-3)

@@ -37,7 +37,8 @@ class FusedDetectPose:
                  yolo_weights=None, max_persons: int = 16,
                  det_size: int = 640, conf_thres: float = 0.25,
                  iou_thres: float = 0.45, topk: int = 512,
-                 person_class: int = 0, flip_test: Optional[bool] = None):
+                 person_class: int = 0, flip_test: Optional[bool] = None,
+                 mesh=None):
         import jax
         import jax.numpy as jnp
 
@@ -56,6 +57,9 @@ class FusedDetectPose:
         self.iou_thres = iou_thres
         self.topk = topk
         self.person_class = person_class
+        #: optional jax.sharding.Mesh — video chunks shard frames over the
+        #: 'data' axis in infer_frames (weights replicated)
+        self.mesh = mesh
 
         self.yolo = YOLOv5(variant=yolo_variant)
         if yolo_weights is None:
@@ -198,18 +202,34 @@ class FusedDetectPose:
         entry per (F, H, W)."""
         import jax
         frames = np.asarray(frames)
+        n_frames = frames.shape[0]
+        if self.mesh is not None:
+            # pad the chunk to a data-axis-divisible frame count
+            n_data = self.mesh.shape["data"]
+            pad = (-n_frames) % n_data
+            if pad:
+                frames = np.concatenate(
+                    [frames, np.repeat(frames[-1:], pad, axis=0)])
         F, H, W = frames.shape[:3]
         key = ("batch", F, H, W)
         run = self._runs.get(key)
         if run is None:
             inner = self._runs.get((H, W)) or self._build(H, W)
             self._runs[(H, W)] = inner
-            run = self._runs[key] = jax.jit(
-                jax.vmap(inner, in_axes=(None, None, 0)))
+            vm = jax.vmap(inner, in_axes=(None, None, 0))
+            if self.mesh is not None:
+                from ..parallel import batch_sharding, replicated
+                bs = batch_sharding(self.mesh)
+                rep = replicated(self.mesh)
+                run = jax.jit(vm, in_shardings=(rep, rep, bs),
+                              out_shardings=rep)
+            else:
+                run = jax.jit(vm)
+            self._runs[key] = run
         preds, maxvals, boxes, scores, valid = jax.device_get(
             run(self._pose.variables, self.yolo_vars, frames))
         out = []
-        for f in range(F):
+        for f in range(n_frames):
             n = int(valid[f].astype(np.int32).sum())
             out.append({"keypoints": preds[f, :n], "maxvals": maxvals[f, :n],
                         "boxes": boxes[f, :n], "scores": scores[f, :n]})
