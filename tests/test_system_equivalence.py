@@ -188,10 +188,6 @@ def _run_ours(cfg, root, out_dir, fmodel, variables):
     return captured
 
 
-def _res_key(r):
-    return (r["image_id"], -r["score"], tuple(np.round(r["keypoints"][:4], 3)))
-
-
 def _compare(ref, ours, coord_atol=0.2, coord_cap=20.0):
     """coord_atol is source-image pixels.  Sub-pixel refinement (DARK
     Newton step / offset gather) amplifies ~2e-4 heatmap-value noise from

@@ -62,9 +62,13 @@ def _flush_chunk(frames_bgr, fused, pose, writer, args, fps, keep=None):
                     for f in frames_bgr])
     fps.start()
     results = fused.infer_frames(rgb)
-    fps.stop(sync_value=results[0]["keypoints"], debug=args.show_fps)
+    fps.stop(sync_value=results[0]["keypoints"], debug=args.show_fps,
+             count=len(frames_bgr) if keep is None else keep)
     for frame, res in list(zip(frames_bgr, results))[:keep]:
         out = pose.draw_keypoints(frame, res["keypoints"])
+        if args.show_fps and fps.fps:
+            cv2.putText(out, f"Pose FPS: {fps.fps}", (10, 30),
+                        cv2.FONT_HERSHEY_SIMPLEX, 1.0, (0, 255, 0), 2)
         if not args.no_save:
             writer.update(out)
 

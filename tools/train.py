@@ -279,19 +279,35 @@ def main():
                     # shards cannot be np.asarray'd.
                     from udp_pose_tpu.core.accuracy import pck_accuracy
                     out = metrics["output"]
-                    parts, seen = [], set()
-                    for s in sorted(out.addressable_shards,
-                                    key=lambda s: s.index[0].start or 0):
-                        st = s.index[0].start or 0
-                        if st not in seen:   # skip replicated copies
-                            seen.add(st)
-                            parts.append(np.asarray(s.data))
-                    hm = np.concatenate(parts, axis=0)
-                    tgt = batch["target"]
-                    if cfg.MODEL.TARGET_TYPE == "offset":
-                        hm, tgt = hm[:, ::3], tgt[:, ::3]
-                    _, avg_acc, cnt, pred = pck_accuracy(hm, tgt)
-                    acc_meter.update(avg_acc, cnt)
+                    # only batch-dim sharding can be reassembled here; a
+                    # non-batch-partial shard (e.g. spatial 'model'-axis
+                    # sharding) would silently corrupt the PCK input
+                    def full_tail(s):
+                        return all(ix.start in (None, 0) and
+                                   ix.stop in (None, out.shape[d])
+                                   for d, ix in enumerate(s.index) if d)
+                    shards = out.addressable_shards
+                    if all(full_tail(s) for s in shards):
+                        parts, seen = [], set()
+                        for s in sorted(shards,
+                                        key=lambda s: s.index[0].start or 0):
+                            st = s.index[0].start or 0
+                            if st not in seen:   # skip replicated copies
+                                seen.add(st)
+                                parts.append(np.asarray(s.data))
+                        hm = np.concatenate(parts, axis=0)
+                    elif num_shards == 1:
+                        # single-process, any layout: plain fetch works
+                        hm = np.asarray(metrics["output"])
+                    else:
+                        hm = None   # multi-host + non-batch sharding:
+                        #             skip PCK rather than corrupt it
+                    if hm is not None:
+                        tgt = batch["target"]
+                        if cfg.MODEL.TARGET_TYPE == "offset":
+                            hm, tgt = hm[:, ::3], tgt[:, ::3]
+                        _, avg_acc, cnt, pred = pck_accuracy(hm, tgt)
+                        acc_meter.update(avg_acc, cnt)
                 speed = batch["image"].shape[0] / max(time.time() - t_end,
                                                       1e-9)
                 logger.info(
@@ -302,7 +318,8 @@ def main():
                 if writer:
                     writer.add_scalar("train_loss", loss, global_step)
                     writer.add_scalar("train_acc", acc_meter.val, global_step)
-                if cfg.DEBUG.DEBUG and not is_rsn and is_main:
+                if cfg.DEBUG.DEBUG and not is_rsn and is_main \
+                        and hm is not None:
                     from udp_pose_tpu.utils.vis import save_debug_images
                     prefix = os.path.join(final_output_dir,
                                           f"train_{epoch}_{i}")

@@ -105,12 +105,13 @@ class FPS:
     def start(self):
         self.prev_time = time.time()
 
-    def stop(self, sync_value=None, debug=True):
+    def stop(self, sync_value=None, debug=True, count=1):
+        """``count``: frames covered by this interval (batched chunks)."""
         if sync_value is not None:
             np.asarray(sync_value)   # D2H readback == real sync on axon
         self.accum_time += time.time() - self.prev_time
-        self.counts += 1
-        if self.counts == self.avg:
+        self.counts += count
+        if self.counts >= self.avg:
             self.fps = round(self.counts / self.accum_time)
             if debug:
                 print(f"FPS: {self.fps}")

@@ -911,6 +911,35 @@ def load_pretrained(variables, pretrained, cfg):
         raise KeyError(f"no pretrained mapping for model {name!r}")
 
     loaded = cv.variables()
+    # shape-guard each grafted leaf against the fresh init: e.g. an
+    # ImageNet hrnet CLASSIFICATION checkpoint with PRETRAINED_LAYERS '*'
+    # carries a final_layer whose cls-head shape must not clobber the
+    # pose head (torch strict=False raises on size mismatch; here the
+    # mismatched leaf is skipped and reported)
+    skipped = []
+
+    def _prune(fresh, update, path=()):
+        out = {}
+        for k, v in update.items():
+            if _is_map(v):
+                out[k] = _prune(fresh.get(k, {}) if _is_map(fresh) else {},
+                                v, path + (k,))
+            elif (_is_map(fresh) and k in fresh
+                  and not _is_map(fresh[k])
+                  and tuple(np.shape(fresh[k])) != tuple(np.shape(v))):
+                skipped.append("/".join(path + (k,)))
+            else:
+                out[k] = v
+        return out
+
+    loaded = {"params": _prune(variables["params"], loaded["params"]),
+              "batch_stats": _prune(variables.get("batch_stats", {}),
+                                    loaded["batch_stats"])}
+    if skipped:
+        import logging
+        logging.getLogger(__name__).warning(
+            "pretrained: skipped %d shape-mismatched leaves (e.g. %s)",
+            len(skipped), skipped[:3])
     merged = {"params": _deep_merge(variables["params"], loaded["params"])}
     if "batch_stats" in variables:
         merged["batch_stats"] = _deep_merge(variables["batch_stats"],
