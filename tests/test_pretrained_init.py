@@ -150,3 +150,30 @@ def test_mobilenetv3_prefix_detection(prefix):
     np.testing.assert_array_equal(
         merged["params"]["backbone"]["stem"]["conv"]["kernel"],
         conv_kernel(sd[prefix + "0.0.weight"]))
+
+
+def test_shape_mismatched_leaf_skipped():
+    """A cls-head final_layer in the checkpoint (wrong shape for the pose
+    head) must be skipped with the rest grafted — not clobber the head."""
+    from udp_pose_tpu.utils.torch_convert import conv_kernel, load_pretrained
+    cfg = _base_cfg("pose_resnet", "gaussian")
+    cfg.MODEL.EXTRA.merge_from_dict({
+        "NUM_LAYERS": 18, "NUM_DECONV_LAYERS": 2,
+        "NUM_DECONV_FILTERS": [64, 64], "NUM_DECONV_KERNELS": [4, 4],
+        "DECONV_WITH_BIAS": False, "FINAL_CONV_KERNEL": 1})
+    ref = _ref_module("pose_resnet")
+    tmodel = _randomize(ref.get_pose_net(cfg, is_train=False))
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    # corrupt final_layer to a classification-head shape
+    sd["final_layer.weight"] = np.zeros((1000, 64, 1, 1), np.float32)
+    sd["final_layer.bias"] = np.zeros((1000,), np.float32)
+
+    fresh = _fresh(cfg)
+    merged, _ = load_pretrained(fresh, sd, cfg)
+    # trunk grafted, mismatched head untouched
+    np.testing.assert_array_equal(
+        merged["params"]["backbone"]["conv1"]["kernel"],
+        conv_kernel(sd["conv1.weight"]))
+    np.testing.assert_array_equal(
+        merged["params"]["final_layer"]["kernel"],
+        np.asarray(fresh["params"]["final_layer"]["kernel"]))
