@@ -46,33 +46,11 @@ def main():
     else:
         from udp_pose_tpu.config import load_config
         from udp_pose_tpu.models import build_model
-        from udp_pose_tpu.models.hrnet import stage_cfg
         cfg = load_config(args.cfg, args.opts)
-        name = cfg.MODEL.NAME
-        extra = cfg.MODEL.EXTRA
-        if name.startswith("pose_resnet"):
-            variables, unused = tc.convert_pose_resnet(
-                sd, extra.NUM_LAYERS, psa="psa" in name)
-        elif name.startswith("pose_hrnet"):
-            stages = tuple(
-                stage_cfg(extra[k]["NUM_MODULES"], extra[k]["NUM_BRANCHES"],
-                          extra[k]["BLOCK"], extra[k]["NUM_BLOCKS"],
-                          extra[k]["NUM_CHANNELS"])
-                for k in ("STAGE2", "STAGE3", "STAGE4"))
-            variables, unused = tc.convert_pose_hrnet(sd, stages,
-                                                      psa="psa" in name)
-        elif name == "rsn":
-            variables, unused = tc.convert_rsn(
-                sd, extra.get("STAGE_NUM", 1),
-                layers=tuple(extra.get("LAYERS", (2, 2, 2, 2))),
-                plain=extra.get("PLAIN_BOTTLENECK", False),
-                se=extra.get("USE_SE", False),
-                prm=extra.get("USE_PRM", False))
-        elif name.startswith(("pose_shufflenetv2", "pose_mobilenetv3",
-                              "pose_mobilevit")):
-            variables, unused = tc.convert_pose_mobile(sd, cfg)
-        else:
-            raise SystemExit(f"no converter wired for {name}")
+        try:
+            variables, unused = tc.torch_to_flax_from_cfg(sd, cfg)
+        except KeyError as e:
+            raise SystemExit(str(e))
         model = build_model(cfg)
         w, h = cfg.MODEL.IMAGE_SIZE
         shape = (1, h, w, 3)

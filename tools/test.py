@@ -52,7 +52,16 @@ def main():
         weight_file = os.path.join(final_output_dir, "final_state.msgpack")
     logger.info(f"=> loading model from {weight_file}")
     if os.path.exists(weight_file):
-        variables = load_weights(weight_file)
+        if str(weight_file).endswith((".pth", ".pt", ".tar")):
+            # the reference's TEST.MODEL_FILE is a torch checkpoint
+            from udp_pose_tpu.utils.torch_convert import \
+                torch_to_flax_from_cfg
+            variables, unused = torch_to_flax_from_cfg(weight_file, cfg)
+            if unused:
+                logger.warning(f"=> {len(unused)} unused torch keys, "
+                               f"e.g. {unused[:3]}")
+        else:
+            variables = load_weights(weight_file)
     else:
         logger.warning("=> no weights found; evaluating a fresh init "
                        "(smoke mode)")

@@ -86,32 +86,8 @@ class UdpPosePipeline:
         )(jax.random.PRNGKey(0))
 
     def _convert(self, sd):
-        from ..models.hrnet import stage_cfg
-        from ..utils import torch_convert as tc
-        name = self.cfg.MODEL.NAME
-        extra = self.cfg.MODEL.EXTRA
-        if name.startswith("pose_resnet"):
-            v, _ = tc.convert_pose_resnet(sd, extra.NUM_LAYERS,
-                                          psa="psa" in name)
-        elif name.startswith("pose_hrnet"):
-            stages = tuple(
-                stage_cfg(extra[k]["NUM_MODULES"], extra[k]["NUM_BRANCHES"],
-                          extra[k]["BLOCK"], extra[k]["NUM_BLOCKS"],
-                          extra[k]["NUM_CHANNELS"])
-                for k in ("STAGE2", "STAGE3", "STAGE4"))
-            v, _ = tc.convert_pose_hrnet(sd, stages, psa="psa" in name)
-        elif name == "rsn":
-            v, _ = tc.convert_rsn(
-                sd, extra.get("STAGE_NUM", 1),
-                layers=tuple(extra.get("LAYERS", (2, 2, 2, 2))),
-                plain=extra.get("PLAIN_BOTTLENECK", False),
-                se=extra.get("USE_SE", False),
-                prm=extra.get("USE_PRM", False))
-        elif name.startswith(("pose_shufflenetv2", "pose_mobilenetv3",
-                              "pose_mobilevit")):
-            v, _ = tc.convert_pose_mobile(sd, self.cfg)
-        else:
-            raise ValueError(f"no .pth converter wired for {name}")
+        from ..utils.torch_convert import torch_to_flax_from_cfg
+        v, _ = torch_to_flax_from_cfg(sd, self.cfg)
         return v
 
     def _build_infer(self):

@@ -437,6 +437,37 @@ def flax_to_torch(variables, family: str, **kwargs) -> Dict[str, np.ndarray]:
     return cv.sd
 
 
+def torch_to_flax_from_cfg(sd, cfg):
+    """Forward conversion with family arguments derived from a config:
+    trained reference-format state_dict (or .pth path) → flax variables.
+    Returns (variables, unused_keys)."""
+    if isinstance(sd, (str, bytes)):
+        sd = load_torch_state_dict(sd)
+    name = cfg.MODEL.NAME
+    extra = cfg.MODEL.EXTRA
+    if name.startswith("pose_resnet"):
+        return convert_pose_resnet(sd, extra.NUM_LAYERS,
+                                   psa=name.endswith("_psa"))
+    if name.startswith("pose_hrnet"):
+        from ..models.hrnet import stage_cfg
+        stages = tuple(
+            stage_cfg(extra[k]["NUM_MODULES"], extra[k]["NUM_BRANCHES"],
+                      extra[k]["BLOCK"], extra[k]["NUM_BLOCKS"],
+                      extra[k]["NUM_CHANNELS"])
+            for k in ("STAGE2", "STAGE3", "STAGE4"))
+        return convert_pose_hrnet(sd, stages, psa=name.endswith("_psa"))
+    if name == "rsn":
+        return convert_rsn(
+            sd, extra.get("STAGE_NUM", 1),
+            layers=tuple(extra.get("LAYERS", (2, 2, 2, 2))),
+            plain=extra.get("PLAIN_BOTTLENECK", False),
+            se=extra.get("USE_SE", False), prm=extra.get("USE_PRM", False))
+    if name.startswith(("pose_shufflenetv2", "pose_mobilenetv3",
+                        "pose_mobilevit")):
+        return convert_pose_mobile(sd, cfg)
+    raise KeyError(f"no converter for model {name!r}")
+
+
 def flax_to_torch_from_cfg(variables, cfg) -> Dict[str, np.ndarray]:
     """flax_to_torch with the family arguments derived from a config."""
     name = cfg.MODEL.NAME
