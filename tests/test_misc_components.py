@@ -204,3 +204,29 @@ def test_plot_coco(tmp_path):
     assert n == 1
     out = cv2.imread(str(tmp_path / "plots" / ("%012d.jpg" % 7)))
     assert out is not None and (out != 0).any()
+
+
+def test_bench_sigterm_dump():
+    """bench.py must print its partial JSON line when the driver kills it
+    mid-run (SIGTERM), instead of dying silently."""
+    import json
+    import subprocess
+    import sys
+
+    code = """
+import json, os, signal, sys, time
+sys.path.insert(0, %r)
+import bench
+result = {"metric": "m", "value": 1.0}
+bench._arm_emergency_dump(result)
+os.kill(os.getpid(), signal.SIGTERM)
+print("UNREACHABLE")
+"""
+    import os
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    proc = subprocess.run([sys.executable, "-c", code % repo],
+                          capture_output=True, text=True, timeout=60)
+    assert "UNREACHABLE" not in proc.stdout
+    line = proc.stdout.strip().splitlines()[-1]
+    parsed = json.loads(line)
+    assert parsed["metric"] == "m" and parsed["partial"] is True
