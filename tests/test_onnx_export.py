@@ -257,3 +257,47 @@ def test_onnx_attr_wire_roundtrip():
     assert back.attrs["ints_attr"] == [1, -2, 3]
     assert back.attrs["floats_attr"] == [0.5, 1.5]
     assert back.attrs["strings_attr"] == [b"x", b"y"]
+
+
+def test_onnx_yolov5():
+    """Native YOLOv5 detector export: CSP/SPPF/PANet + anchor decode must
+    reproduce the flax raw predictions row-for-row."""
+    from udp_pose_tpu.export.onnx_eval import run_model
+    from udp_pose_tpu.export.onnx_pb import load_model
+    from udp_pose_tpu.export.onnx_yolo import build_yolov5
+    from udp_pose_tpu.models.yolov5 import YOLOv5
+    from udp_pose_tpu.utils.torch_convert import flax_to_torch_yolov5
+
+    model = YOLOv5(variant="n")
+    s = 128
+    variables = _small_variables(model, (1, s, s, 3), seed=4)
+    sd = flax_to_torch_yolov5(variables)
+    blob = build_yolov5(sd, "n", image_hw=(s, s), batch=2)
+
+    m = load_model(blob)
+    assert m.graph.inputs[0][1] == [2, 3, s, s]
+
+    rng = np.random.default_rng(8)
+    x = rng.random((2, s, s, 3)).astype(np.float32)
+    want = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    got = run_model(m, {"images": x.transpose(0, 3, 1, 2)})["output"]
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)
+
+
+def test_yolov5_reverse_roundtrip():
+    """flax → ultralytics sd → flax must be exact."""
+    from udp_pose_tpu.models.yolov5 import YOLOv5
+    from udp_pose_tpu.utils.torch_convert import (convert_yolov5,
+                                                  flax_to_torch_yolov5)
+    model = YOLOv5(variant="n")
+    variables = _small_variables(model, (1, 64, 64, 3), seed=2)
+    sd = flax_to_torch_yolov5(variables)
+    back, unused = convert_yolov5(sd, "n")
+    assert not unused, unused[:8]
+    flat_a = jax.tree_util.tree_leaves_with_path(variables)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back))
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(np.asarray(flat_b[path]),
+                                      np.asarray(leaf),
+                                      err_msg=str(path))

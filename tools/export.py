@@ -36,7 +36,11 @@ import numpy as np
 
 def parse_args():
     p = argparse.ArgumentParser(description="Export model to StableHLO")
-    p.add_argument("--cfg", required=True)
+    p.add_argument("--cfg", default="")
+    p.add_argument("--yolo", default="",
+                   help="export the native YOLOv5 detector instead of a "
+                        "pose model, e.g. 'yolov5n' (--format onnx only)")
+    p.add_argument("--det-size", type=int, default=640)
     p.add_argument("--weights", default="")
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--out", default="")
@@ -47,6 +51,45 @@ def parse_args():
                    help="skip the output-parity verification run")
     p.add_argument("opts", nargs=argparse.REMAINDER)
     return p.parse_args()
+
+
+def _export_yolo(args):
+    """Native YOLOv5 detector → parity-checked .onnx."""
+    import jax
+    import jax.numpy as jnp
+    from udp_pose_tpu.export.onnx_eval import check_model
+    from udp_pose_tpu.export.onnx_yolo import build_yolov5
+    from udp_pose_tpu.models.yolov5 import YOLOv5
+    from udp_pose_tpu.utils.checkpoint import load_weights
+    from udp_pose_tpu.utils.torch_convert import flax_to_torch_yolov5
+
+    if args.format == "stablehlo":    # the argparse default → onnx here
+        args.format = "onnx"
+    if args.format != "onnx":
+        raise SystemExit("--yolo supports --format onnx")
+    variant = args.yolo.replace("yolov5", "")
+    model = YOLOv5(variant=variant)
+    s = args.det_size
+    if args.weights:
+        variables = load_weights(args.weights)
+    else:
+        variables = jax.jit(lambda r: model.init(
+            r, jnp.zeros((1, s, s, 3), jnp.float32), train=False)
+        )(jax.random.PRNGKey(0))
+    variables = jax.tree.map(lambda a: np.asarray(a, np.float32), variables)
+    sd = flax_to_torch_yolov5(variables)
+    blob = build_yolov5(sd, variant, image_hw=(s, s), batch=args.batch)
+    out_path = args.out or f"yolov5{variant}.onnx"
+    with open(out_path, "wb") as f:
+        f.write(blob)
+    if not args.skip_check:
+        rng = np.random.default_rng(1)
+        x = rng.random((args.batch, s, s, 3)).astype(np.float32)
+        y = np.asarray(model.apply(variables, x, train=False))
+        err = check_model(blob, x.transpose(0, 3, 1, 2), y,
+                          rtol=1e-3, atol=2e-3)
+        print(f"onnx-vs-flax parity OK (max abs err {err:.2e})")
+    print(f"exported {out_path} ({len(blob)} bytes)")
 
 
 def main():
@@ -60,6 +103,11 @@ def main():
     from udp_pose_tpu.models import build_model
     from udp_pose_tpu.utils.checkpoint import load_weights
 
+    if args.yolo:
+        _export_yolo(args)
+        return
+    if not args.cfg:
+        raise SystemExit("--cfg is required (or use --yolo)")
     cfg = load_config(args.cfg, args.opts)
     if args.format in ("onnx", "tflite", "savedmodel"):
         # deploy artifacts are fp32 (the reference exports fp32 ONNX);

@@ -562,22 +562,7 @@ _YOLO_LAYERS = [
 ]
 
 
-def convert_yolov5(sd: Dict[str, np.ndarray], variant: str = "n"):
-    """ultralytics yolov5 (v6.0) state_dict → flax variables for
-    models/yolov5.YOLOv5.
-
-    Accepts keys with or without the ``model.`` prefix (``attempt_load``
-    checkpoints nest under ``model.model.{i}``).  Detect head biases/weights
-    map to ``detect{0,1,2}``.  Returns (variables, unused_keys).
-    """
-    # normalise prefix: strip leading "model." once or twice
-    def norm(k):
-        while k.startswith("model."):
-            k = k[len("model."):]
-        return k
-    sd = {norm(k): v for k, v in sd.items()}
-    cv = Converter(sd)
-
+def _map_yolov5(cv: Converter):
     def conv_unit(tp, *path):
         cv.conv(f"{tp}.conv", *path, "conv")
         cv.bn(f"{tp}.bn", *path, "bn")
@@ -586,7 +571,7 @@ def convert_yolov5(sd: Dict[str, np.ndarray], variant: str = "n"):
         for cvname in ("cv1", "cv2", "cv3"):
             conv_unit(f"{tp}.{cvname}", *path, cvname)
         j = 0
-        while f"{tp}.m.{j}.cv1.conv.weight" in sd:
+        while cv.probe(f"{tp}.m.{j}.cv1.conv.weight", *path, f"m{j}"):
             conv_unit(f"{tp}.m.{j}.cv1", *path, f"m{j}", "cv1")
             conv_unit(f"{tp}.m.{j}.cv2", *path, f"m{j}", "cv2")
             j += 1
@@ -602,8 +587,33 @@ def convert_yolov5(sd: Dict[str, np.ndarray], variant: str = "n"):
             conv_unit(f"{tp}.cv2", name, "cv2")
     for li in range(3):
         cv.conv(f"24.m.{li}", f"detect{li}")
+
+
+def convert_yolov5(sd: Dict[str, np.ndarray], variant: str = "n"):
+    """ultralytics yolov5 (v6.0) state_dict ↔ flax variables for
+    models/yolov5.YOLOv5.
+
+    Accepts keys with or without the ``model.`` prefix (``attempt_load``
+    checkpoints nest under ``model.model.{i}``).  Detect head biases/weights
+    map to ``detect{0,1,2}``.  Returns (variables, unused_keys).
+    """
+    # normalise prefix: strip leading "model." once or twice
+    def norm(k):
+        while k.startswith("model."):
+            k = k[len("model."):]
+        return k
+    sd = {norm(k): v for k, v in sd.items()}
+    cv = Converter(sd)
+    _map_yolov5(cv)
     unused = [k for k in cv.unused() if "anchor" not in k]
     return cv.variables(), unused
+
+
+def flax_to_torch_yolov5(variables) -> Dict[str, np.ndarray]:
+    """REVERSE: flax YOLOv5 variables → ultralytics-layout state_dict."""
+    cv = Converter({}, variables=variables, reverse=True)
+    _map_yolov5(cv)
+    return cv.sd
 
 
 def _convert_cna(cv: Converter, tkey: str, *path):
