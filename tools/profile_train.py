@@ -1,0 +1,250 @@
+"""Train-step perf study harness (round 3).
+
+Measures HRNet-w32 offset train-step (fwd+bwd+adam) variants at B=128 on
+the real chip, using the DESIGN.md marginal-cost methodology: checksum-
+synced block timing, min of blocks, variant ablations selected by CLI.
+
+Usage: python tools/profile_train.py v0 v_loss_sum ...   (names below)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main(variants):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from __graft_entry__ import _hrnet_w32_cfg
+    from udp_pose_tpu.core.loss import make_loss_fn
+    from udp_pose_tpu.core.train import (TrainState, create_train_state,
+                                         make_train_step, normalize_images)
+    from udp_pose_tpu.models import build_model
+
+    B = 128
+    rng_np = np.random.default_rng(1)
+    batch_np = {
+        "image": rng_np.integers(0, 256, (B, 256, 192, 3)).astype(np.uint8),
+        "target": rng_np.normal(size=(B, 51, 64, 48)).astype(np.float32),
+        "target_weight": rng_np.uniform(size=(B, 17)).astype(np.float32),
+    }
+    device_batch = {k: jax.device_put(v) for k, v in batch_np.items()}
+
+    def build_state(modules=(1, 4, 3)):
+        cfg = _hrnet_w32_cfg((192, 256), (48, 64), dtype="bfloat16")
+        for k, m in zip(("STAGE2", "STAGE3", "STAGE4"), modules):
+            cfg.MODEL.EXTRA[k]["NUM_MODULES"] = m
+        model = build_model(cfg)
+        state = create_train_state(cfg, model, jax.random.PRNGKey(0), 1000)
+        return cfg, model, state
+
+    def timeit(name, state, step_fn, prep, iters=6, blocks=2):
+        checksum = jax.jit(lambda s: jnp.sum(
+            s.params["final_layer"]["kernel"].astype(jnp.float32)))
+
+        def run(n, state):
+            for _ in range(n):
+                state, _ = step_fn(state, prep())
+            float(checksum(state))
+            return state
+
+        state = run(2, state)  # compile + warm
+        best = None
+        for _ in range(blocks):
+            t0 = time.perf_counter()
+            state = run(iters, state)
+            dt = (time.perf_counter() - t0) / iters
+            best = dt if best is None else min(best, dt)
+        sps = B / best
+        tfs = sps * 7.16e9 * 3 / 1e12
+        print(f"{name:28s} {best * 1e3:8.2f} ms  {sps:8.1f} samples/s "
+              f"(~{tfs:.1f} TF/s)", flush=True)
+        return best
+
+    def prep_norm():
+        db = dict(device_batch)
+        db["image"] = normalize_images(db["image"])
+        return db
+
+    def prep_raw():
+        return dict(device_batch)
+
+    results = {}
+
+    for v in variants:
+        if v == "v0":
+            # baseline: round-2 shipping config
+            cfg, model, state = build_state()
+            step = make_train_step(make_loss_fn(cfg))
+            results[v] = timeit("v0 baseline", state, step, prep_norm)
+        elif v == "v_norm_inside":
+            # normalize folded INTO the donated step (single dispatch)
+            cfg, model, state = build_state()
+            loss_fn = make_loss_fn(cfg)
+
+            def step(state, batch):
+                def loss_of(params):
+                    img = normalize_images(batch["image"])
+                    out, mut = state.apply_fn(
+                        {"params": params, "batch_stats": state.batch_stats},
+                        img, train=True, mutable=["batch_stats"])
+                    nchw = out.transpose(0, 3, 1, 2).astype(jnp.float32)
+                    loss, aux = loss_fn(nchw, batch["target"],
+                                        batch["target_weight"])
+                    return loss, (aux, mut["batch_stats"])
+
+                (loss, (aux, bs)), grads = jax.value_and_grad(
+                    loss_of, has_aux=True)(state.params)
+                updates, new_opt = state.tx.update(grads, state.opt_state,
+                                                   state.params)
+                return state.replace(
+                    step=state.step + 1,
+                    params=optax.apply_updates(state.params, updates),
+                    batch_stats=bs, opt_state=new_opt), {"loss": loss}
+
+            results[v] = timeit("v_norm_inside", state,
+                               jax.jit(step, donate_argnums=(0,)), prep_raw)
+        elif v == "v_loss_sum":
+            # loss = sum(out^2) in NHWC — no transpose, no targets
+            cfg, model, state = build_state()
+
+            def step(state, batch):
+                def loss_of(params):
+                    out, mut = state.apply_fn(
+                        {"params": params, "batch_stats": state.batch_stats},
+                        batch["image"], train=True, mutable=["batch_stats"])
+                    return jnp.mean(out.astype(jnp.float32) ** 2), \
+                        mut["batch_stats"]
+
+                (loss, bs), grads = jax.value_and_grad(
+                    loss_of, has_aux=True)(state.params)
+                updates, new_opt = state.tx.update(grads, state.opt_state,
+                                                   state.params)
+                return state.replace(
+                    step=state.step + 1,
+                    params=optax.apply_updates(state.params, updates),
+                    batch_stats=bs, opt_state=new_opt), {"loss": loss}
+
+            results[v] = timeit("v_loss_sum (no NCHW/target)", state,
+                               jax.jit(step, donate_argnums=(0,)), prep_norm)
+        elif v == "v_bn_frozen":
+            # BN running stats (train=False semantics) but full grads —
+            # isolates BN batch-stat + its bwd cost
+            cfg, model, state = build_state()
+            loss_fn = make_loss_fn(cfg)
+
+            def step(state, batch):
+                def loss_of(params):
+                    out = state.apply_fn(
+                        {"params": params, "batch_stats": state.batch_stats},
+                        batch["image"], train=False)
+                    nchw = out.transpose(0, 3, 1, 2).astype(jnp.float32)
+                    loss, aux = loss_fn(nchw, batch["target"],
+                                        batch["target_weight"])
+                    return loss, aux
+
+                (loss, aux), grads = jax.value_and_grad(
+                    loss_of, has_aux=True)(state.params)
+                updates, new_opt = state.tx.update(grads, state.opt_state,
+                                                   state.params)
+                return state.replace(
+                    step=state.step + 1,
+                    params=optax.apply_updates(state.params, updates),
+                    opt_state=new_opt), {"loss": loss}
+
+            results[v] = timeit("v_bn_frozen", state,
+                               jax.jit(step, donate_argnums=(0,)), prep_norm)
+        elif v == "v_no_adam":
+            # grads only, no optimizer update — isolates adam+donation cost
+            cfg, model, state = build_state()
+            loss_fn = make_loss_fn(cfg)
+
+            def step(state, batch):
+                def loss_of(params):
+                    out, mut = state.apply_fn(
+                        {"params": params, "batch_stats": state.batch_stats},
+                        batch["image"], train=True, mutable=["batch_stats"])
+                    nchw = out.transpose(0, 3, 1, 2).astype(jnp.float32)
+                    loss, aux = loss_fn(nchw, batch["target"],
+                                        batch["target_weight"])
+                    return loss, (aux, mut["batch_stats"])
+
+                (loss, (aux, bs)), grads = jax.value_and_grad(
+                    loss_of, has_aux=True)(state.params)
+                gsum = sum(jnp.sum(g.astype(jnp.float32))
+                           for g in jax.tree_util.tree_leaves(grads))
+                # fold a grad-dependent perturbation into params so the
+                # checksum forces full bwd execution
+                new_params = jax.tree_util.tree_map(
+                    lambda p: p + 0 * gsum.astype(p.dtype), state.params)
+                return state.replace(step=state.step + 1,
+                                     params=new_params,
+                                     batch_stats=bs), {"loss": loss}
+
+            results[v] = timeit("v_no_adam", state,
+                               jax.jit(step, donate_argnums=(0,)), prep_norm)
+        elif v.startswith("v_mod_"):
+            # marginal stage cost, e.g. v_mod_1_1_3
+            mods = tuple(int(c) for c in v.split("_")[2:])
+            cfg, model, state = build_state(mods)
+            step = make_train_step(make_loss_fn(cfg))
+            results[v] = timeit(f"modules={mods}", state, step, prep_norm)
+        elif v == "v_remat_hr":
+            # remat every HRModule (recompute in bwd; less HBM traffic)
+            results[v] = run_remat(jax, jnp, optax, timeit, prep_norm,
+                                   build_state, policy="hr")
+        elif v == "v_remat_dots":
+            results[v] = run_remat(jax, jnp, optax, timeit, prep_norm,
+                                   build_state, policy="dots")
+        else:
+            print(f"unknown variant {v}", file=sys.stderr)
+
+    print(results)
+
+
+def run_remat(jax, jnp, optax, timeit, prep_norm, build_state, policy):
+    """Remat the whole apply with a checkpoint policy."""
+    from udp_pose_tpu.core.loss import make_loss_fn
+
+    cfg, model, state = build_state()
+    loss_fn = make_loss_fn(cfg)
+    if policy == "dots":
+        pol = jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims
+    else:
+        pol = jax.checkpoint_policies.nothing_saveable
+
+    def apply(params, batch_stats, img):
+        return state.apply_fn({"params": params, "batch_stats": batch_stats},
+                              img, train=True, mutable=["batch_stats"])
+
+    apply_r = jax.checkpoint(apply, policy=pol)
+
+    def step(state, batch):
+        def loss_of(params):
+            out, mut = apply_r(params, state.batch_stats, batch["image"])
+            nchw = out.transpose(0, 3, 1, 2).astype(jnp.float32)
+            loss, aux = loss_fn(nchw, batch["target"], batch["target_weight"])
+            return loss, (aux, mut["batch_stats"])
+
+        (loss, (aux, bs)), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(state.params)
+        updates, new_opt = state.tx.update(grads, state.opt_state,
+                                           state.params)
+        return state.replace(
+            step=state.step + 1,
+            params=optax.apply_updates(state.params, updates),
+            batch_stats=bs, opt_state=new_opt), {"loss": loss}
+
+    return timeit(f"v_remat_{policy}", state,
+                  jax.jit(step, donate_argnums=(0,)), prep_norm)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or ["v0"])

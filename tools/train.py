@@ -278,30 +278,13 @@ def main():
                     # global array under multi-host, and non-addressable
                     # shards cannot be np.asarray'd.
                     from udp_pose_tpu.core.accuracy import pck_accuracy
-                    out = metrics["output"]
+                    from udp_pose_tpu.parallel import fetch_local_batch_rows
                     # only batch-dim sharding can be reassembled here; a
                     # non-batch-partial shard (e.g. spatial 'model'-axis
-                    # sharding) would silently corrupt the PCK input
-                    def full_tail(s):
-                        return all(ix.start in (None, 0) and
-                                   ix.stop in (None, out.shape[d])
-                                   for d, ix in enumerate(s.index) if d)
-                    shards = out.addressable_shards
-                    if all(full_tail(s) for s in shards):
-                        parts, seen = [], set()
-                        for s in sorted(shards,
-                                        key=lambda s: s.index[0].start or 0):
-                            st = s.index[0].start or 0
-                            if st not in seen:   # skip replicated copies
-                                seen.add(st)
-                                parts.append(np.asarray(s.data))
-                        hm = np.concatenate(parts, axis=0)
-                    elif num_shards == 1:
-                        # single-process, any layout: plain fetch works
-                        hm = np.asarray(metrics["output"])
-                    else:
-                        hm = None   # multi-host + non-batch sharding:
-                        #             skip PCK rather than corrupt it
+                    # sharding) returns None → skip PCK rather than
+                    # corrupt it (tested in test_multichip_hardening)
+                    hm = fetch_local_batch_rows(metrics["output"],
+                                                num_shards)
                     if hm is not None:
                         tgt = batch["target"]
                         if cfg.MODEL.TARGET_TYPE == "offset":

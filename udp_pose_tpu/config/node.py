@@ -105,6 +105,17 @@ class Node(dict):
         return {k: (v.to_dict() if isinstance(v, Node) else v)
                 for k, v in self.items()}
 
+    def dump(self, **kwargs):
+        """yaml text of the full tree (yacs CfgNode.dump parity);
+        tuples become lists so the output round-trips via safe_load."""
+        def clean(v):
+            if isinstance(v, Node):
+                return {k: clean(x) for k, x in v.items()}
+            if isinstance(v, (tuple, list)):
+                return [clean(x) for x in v]
+            return v
+        return yaml.safe_dump(clean(self), **kwargs)
+
 
 def _rebuild_node(items, new_allowed, frozen):
     node = Node(new_allowed=new_allowed)

@@ -153,6 +153,21 @@ def validate(cfg, dataset, model, variables, output_dir="",
             all_preds[gi] = preds_g[s][: len(gi)]
             all_boxes[gi] = boxes_g[s][: len(gi)]
         image_paths = [dataset.db[i]["image"] for i in range(n)]
+        # The reconstruction above assumes every host built an IDENTICAL
+        # db (same entries, same order).  Verify it: gather a digest of
+        # each host's path list and require equality — a host-dependent
+        # db (e.g. filtered by local file availability) would otherwise
+        # silently mis-assign results to images.
+        import hashlib
+        digest = hashlib.sha1(
+            "\n".join(image_paths).encode()).digest()[:8]
+        my_hash = np.frombuffer(digest, np.uint64).copy()
+        hashes = np.asarray(gather_fn(my_hash)).reshape(num_shards, -1)
+        if not (hashes == hashes[0]).all():
+            raise RuntimeError(
+                "multi-host eval: dataset db differs across hosts "
+                f"(path-list digests {hashes[:, 0].tolist()}); every host "
+                "must build the identical db for result reassembly")
 
     name_values, perf = dataset.evaluate(cfg, all_preds, output_dir,
                                          all_boxes, image_paths)

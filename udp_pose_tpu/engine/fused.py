@@ -190,6 +190,8 @@ class FusedDetectPose:
             run(self._pose.variables, self.yolo_vars, frame))
         # greedy NMS fills keep slots in order, so valid rows are a prefix
         n = int(valid.astype(np.int32).sum())
+        assert valid[:n].all(), \
+            "FusedDetectPose: valid rows are not a prefix (NMS fill order)"
         return {"keypoints": preds[:n], "maxvals": maxvals[:n],
                 "boxes": boxes[:n], "scores": scores[:n]}
 
@@ -231,6 +233,8 @@ class FusedDetectPose:
         out = []
         for f in range(n_frames):
             n = int(valid[f].astype(np.int32).sum())
+            assert valid[f, :n].all(), \
+                "FusedDetectPose: valid rows are not a prefix (frame %d)" % f
             out.append({"keypoints": preds[f, :n], "maxvals": maxvals[f, :n],
                         "boxes": boxes[f, :n], "scores": scores[f, :n]})
         return out

@@ -7,7 +7,7 @@ inserts the all-reduces over ICI.
 """
 
 from .mesh import (make_mesh, batch_sharding, replicated, shard_batch,
-                   data_parallel_shardings)
+                   data_parallel_shardings, fetch_local_batch_rows)
 
 __all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch",
-           "data_parallel_shardings"]
+           "data_parallel_shardings", "fetch_local_batch_rows"]

@@ -60,3 +60,38 @@ def shard_batch(mesh: Mesh, tree):
 def data_parallel_shardings(mesh: Mesh):
     """(state_sharding, batch_sharding) pair for pjit'ing a train step."""
     return replicated(mesh), batch_sharding(mesh)
+
+
+def fetch_local_batch_rows(out, num_shards: int = 1):
+    """Reassemble THIS process's batch rows from a sharded device array.
+
+    Used by the train-CLI PCK/DEBUG path (tools/train.py): under
+    multi-host the step output is a global array whose non-addressable
+    shards cannot be np.asarray'd, so only batch-dim-sharded layouts can
+    be reassembled host-side.  Returns:
+
+    * np.ndarray of the addressable batch rows when every addressable
+      shard spans the full non-batch dims (pure batch sharding or full
+      replication);
+    * np.ndarray via plain fetch when ``num_shards == 1`` (single
+      process can always materialise the whole array, any layout);
+    * ``None`` when multi-host AND non-batch-partial sharding (e.g.
+      spatial 'model'-axis sharding) — the caller must skip rather than
+      silently corrupt the reassembly.
+    """
+    def full_tail(s):
+        return all(ix.start in (None, 0) and ix.stop in (None, out.shape[d])
+                   for d, ix in enumerate(s.index) if d)
+
+    shards = out.addressable_shards
+    if all(full_tail(s) for s in shards):
+        parts, seen = [], set()
+        for s in sorted(shards, key=lambda s: s.index[0].start or 0):
+            st = s.index[0].start or 0
+            if st not in seen:   # skip replicated copies
+                seen.add(st)
+                parts.append(np.asarray(s.data))
+        return np.concatenate(parts, axis=0)
+    if num_shards == 1:
+        return np.asarray(out)
+    return None
