@@ -101,3 +101,27 @@ def test_rsn_iteration_training_and_resume(tmp_path):
     text2 = _run(cfg_file)
     assert "resumed at iteration 8" in text2
     assert os.path.exists(os.path.join(run_dir, "iter-11.msgpack"))
+
+
+def test_4xrsn18_iteration_training(tmp_path):
+    """The reference's best-model SHAPE (4XRSN18: STAGE_NUM=4,
+    4XRSN18.coco/config.py:50) drives the real iteration-mode train CLI:
+    4-stage chaining + per-stage losses + iter checkpoints, end-to-end."""
+    root = str(tmp_path / "data")
+    make_mini_coco(root, n_images=2, seed=9)
+    out = str(tmp_path / "run4x")
+    cfg_file = str(tmp_path / "exp4x.yaml")
+    cfg_text = CFG_YAML.format(out=out, root=root).replace(
+        "STAGE_NUM: 1", "STAGE_NUM: 4").replace(
+        "MAX_ITER: 12", "MAX_ITER: 4").replace(
+        "CHECKPOINT_PERIOD: 4", "CHECKPOINT_PERIOD: 2")
+    with open(cfg_file, "w") as f:
+        f.write(cfg_text)
+
+    text = _run(cfg_file)
+    run_dir = _run_dir(out)
+    files = sorted(os.listdir(run_dir))
+    assert "iter-1.msgpack" in files and "iter-3.msgpack" in files, files
+    assert "iteration mode: 4 iters" in text
+    # 4-stage per-stage losses all flow into one finite total
+    assert "Loss" in text

@@ -270,3 +270,83 @@ def test_rsn_prm_se_torch_output_parity():
                                  train=False)).transpose(0, 3, 1, 2)
     assert yt.shape == yf.shape
     np.testing.assert_allclose(yf, yt, rtol=1e-3, atol=5e-4)
+
+
+@pytest.mark.skipif(not os.path.isdir(RSN_ROOT),
+                    reason="reference checkout not present")
+def test_4xrsn18_torch_output_parity():
+    """4XRSN18 — the reference's best-model shape — output parity vs the
+    ACTUAL RSN/exps/4XRSN18.coco/network.py at STAGE_NUM=4
+    (4XRSN18.coco/config.py:50).  That file is the base RSN18 network
+    plus a PRM class that is never instantiated (dead code), so the
+    model is RSN(stage_num=4) with 4-stage cross-stage skip chaining
+    (network.py:400-412)."""
+    import torch
+    from udp_pose_tpu.models import build_model
+    from udp_pose_tpu.utils.torch_convert import (check_against_model,
+                                                  convert_rsn)
+
+    from ref_harness import claim_rsn_namespace
+    claim_rsn_namespace()
+    spec = importlib.util.spec_from_file_location(
+        "ref_rsn4x_network",
+        os.path.join(RSN_ROOT, "exps/4XRSN18.coco/network.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert not any("prm" in n for n, _ in mod.RSN.__dict__.items()), \
+        "reference 4XRSN18 grew a PRM usage; revisit this test"
+
+    class _NS:
+        pass
+
+    rcfg = _NS()
+    rcfg.MODEL = _NS(); rcfg.MODEL.STAGE_NUM = 4
+    rcfg.MODEL.UPSAMPLE_CHANNEL_NUM = 256
+    rcfg.DATASET = _NS(); rcfg.DATASET.KEYPOINT = _NS()
+    rcfg.DATASET.KEYPOINT.NUM = 17
+    rcfg.OUTPUT_SHAPE = (64, 48)
+    rcfg.LOSS = _NS(); rcfg.LOSS.OHKM = True; rcfg.LOSS.TOPK = 8
+    rcfg.LOSS.COARSE_TO_FINE = True
+
+    tmodel = mod.RSN(rcfg)
+    tmodel.eval()
+    g = torch.Generator().manual_seed(23)
+    sd = tmodel.state_dict()
+    for k, v in sd.items():
+        if v.dtype.is_floating_point:
+            if "running_var" in k:
+                sd[k] = torch.rand(v.shape, generator=g) + 0.5
+            elif "running_mean" in k:
+                sd[k] = torch.randn(v.shape, generator=g) * 0.1
+            else:
+                sd[k] = torch.randn(v.shape, generator=g) * 0.05
+    tmodel.load_state_dict(sd)
+
+    # our model from the canonical shipped config (STAGE_NUM: 4)
+    from udp_pose_tpu.config import load_config
+    cfg = load_config(os.path.join(
+        os.path.dirname(__file__), "..", "configs", "coco",
+        "4xrsn18_256x192.yaml"))
+    cfg.defrost()
+    cfg.TPU.DTYPE = "float32"
+    assert cfg.MODEL.EXTRA.STAGE_NUM == 4
+    fmodel = build_model(cfg)
+    variables, unused = convert_rsn(
+        {k: v.numpy() for k, v in tmodel.state_dict().items()}, stage_num=4)
+    assert not unused, unused[:8]
+    variables = check_against_model(variables, fmodel, (1, 256, 192, 3))
+
+    rng = np.random.default_rng(29)
+    x = rng.normal(size=(1, 3, 256, 192)).astype(np.float32)
+    with torch.no_grad():
+        yt = tmodel(torch.tensor(x)).numpy()
+    yf = np.asarray(fmodel.apply(variables, x.transpose(0, 2, 3, 1),
+                                 train=False)).transpose(0, 3, 1, 2)
+    assert yt.shape == yf.shape
+    np.testing.assert_allclose(yf, yt, rtol=1e-3, atol=5e-4)
+
+    # all_stages mode: 4 stages x 4 scale outputs each (cross-stage
+    # proven at full depth, not just stage_num=2)
+    outs = fmodel.apply(variables, x.transpose(0, 2, 3, 1), train=False,
+                        all_stages=True)
+    assert len(outs) == 4 and all(len(s) == 4 for s in outs)
