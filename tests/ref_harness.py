@@ -260,7 +260,7 @@ class RefEvalTransform:
 # ---------------------------------------------------------------------------
 
 def make_mini_coco(root, image_set="val2017", n_images=8, seed=0,
-                   det_file=None, image_thre=0.0):
+                   det_file=None, image_thre=0.0, all_visible=False):
     """Write images/, annotations/person_keypoints_<set>.json, and (if
     ``det_file``) a COCO-detection-format box json.  Returns the ann dict."""
     import cv2
@@ -293,7 +293,11 @@ def make_mini_coco(root, image_set="val2017", n_images=8, seed=0,
             y = float(rng.uniform(0, h - bh))
             kps, nvis = [], 0
             for _j in range(17):
-                v = int(rng.choice([0, 1, 2], p=[0.25, 0.25, 0.5]))
+                # all_visible: every joint supervised (used by the
+                # brief-trained equivalence cases — an unsupervised
+                # joint's heatmap stays near-flat and argmax-ties)
+                v = 2 if all_visible else \
+                    int(rng.choice([0, 1, 2], p=[0.25, 0.25, 0.5]))
                 if v == 0:
                     kps += [0.0, 0.0, 0]
                 else:

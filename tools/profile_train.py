@@ -196,6 +196,46 @@ def main(variants):
             cfg, model, state = build_state(mods)
             step = make_train_step(make_loss_fn(cfg))
             results[v] = timeit(f"modules={mods}", state, step, prep_norm)
+        elif v.startswith("v_scan"):
+            # N train steps under one lax.scan dispatch — isolates
+            # per-dispatch overhead (axon relay) from compute
+            n_steps = int(v[len("v_scan"):])
+            cfg, model, state = build_state()
+            loss_fn = make_loss_fn(cfg)
+
+            def one(state, batch):
+                def loss_of(params):
+                    out, mut = state.apply_fn(
+                        {"params": params, "batch_stats": state.batch_stats},
+                        batch["image"], train=True, mutable=["batch_stats"])
+                    nchw = out.transpose(0, 3, 1, 2).astype(jnp.float32)
+                    loss, aux = loss_fn(nchw, batch["target"],
+                                        batch["target_weight"])
+                    return loss, (aux, mut["batch_stats"])
+
+                (loss, (aux, bs)), grads = jax.value_and_grad(
+                    loss_of, has_aux=True)(state.params)
+                updates, new_opt = state.tx.update(grads, state.opt_state,
+                                                   state.params)
+                return state.replace(
+                    step=state.step + 1,
+                    params=optax.apply_updates(state.params, updates),
+                    batch_stats=bs, opt_state=new_opt), loss
+
+            def step(state, batch):
+                def body(s, _):
+                    s, loss = one(s, batch)
+                    return s, loss
+                state, losses = jax.lax.scan(body, state, None,
+                                             length=n_steps)
+                return state, {"loss": losses[-1]}
+
+            t = timeit(f"v_scan{n_steps} ({n_steps} steps/call)", state,
+                       jax.jit(step, donate_argnums=(0,)), prep_norm,
+                       iters=max(2, 6 // n_steps))
+            results[v] = t / n_steps
+            print(f"  -> {t / n_steps * 1e3:.2f} ms/step, "
+                  f"{B * n_steps / t:.1f} samples/s", flush=True)
         elif v == "v_remat_hr":
             # remat every HRModule (recompute in bwd; less HBM traffic)
             results[v] = run_remat(jax, jnp, optax, timeit, prep_norm,
