@@ -193,3 +193,56 @@ def test_infer_frames_mesh_sharded():
         np.testing.assert_allclose(fb["boxes"], fa["boxes"], atol=1e-4)
         np.testing.assert_allclose(fb["keypoints"], fa["keypoints"],
                                    rtol=1e-4, atol=1e-3)
+
+
+def test_low_bw_mode_matches_fused():
+    """--low-bw (VERDICT r2 #5): host letterbox + native host crops must
+    reproduce the single-dispatch fused mode — identical boxes/scores
+    (same detection math on the same stubbed head) and keypoints equal up
+    to the u8 quantisation of the host crops (the device path samples
+    the float frame; the native warp ships uint8 crops, ±0.5/255 per
+    pixel), and it must upload FEWER bytes than the raw frame."""
+    from udp_pose_tpu.engine.fused import FusedDetectPose
+
+    H, W, det = 240, 320, 128
+    cfg = _pose_cfg()
+    eng = FusedDetectPose(cfg, None, yolo_variant="n", max_persons=8,
+                          det_size=det, topk=32, conf_thres=0.25,
+                          iou_thres=0.45)
+    rows = [(28, 46, 40, 68, 0.95, 0.95),
+            (30, 46, 40, 68, 0.90, 0.90),
+            (90, 40, 30, 60, 0.80, 0.90)]
+    eng.yolo = _StubYolo(_mk_pred(rows))
+
+    rng = np.random.default_rng(3)
+    frame = rng.integers(0, 255, (H, W, 3)).astype(np.uint8)
+    out_fused = eng.infer_frame(frame)
+    out_lb = eng.infer_frame_low_bw(frame)
+
+    np.testing.assert_allclose(out_lb["boxes"], out_fused["boxes"],
+                               atol=1e-5)
+    np.testing.assert_allclose(out_lb["scores"], out_fused["scores"],
+                               rtol=1e-6)
+    err = np.abs(out_lb["keypoints"] - out_fused["keypoints"])
+    # random-init heatmaps: the u8 crop quantisation can flip rare
+    # argmax ties; the bulk must agree tightly
+    assert np.mean(err < 0.5) > 0.9, np.mean(err < 0.5)
+    assert np.median(err) < 0.05, np.median(err)
+
+    # bytes: canvas (96x128 due to r=0.4... actually 128-canvas) + 2
+    # crops u8 must be well under the raw frame
+    assert out_lb["bytes_uploaded"] < frame.nbytes, \
+        (out_lb["bytes_uploaded"], frame.nbytes)
+
+
+def test_low_bw_empty_frame():
+    from udp_pose_tpu.engine.fused import FusedDetectPose
+    cfg = _pose_cfg()
+    eng = FusedDetectPose(cfg, None, yolo_variant="n", max_persons=4,
+                          det_size=128, topk=16)
+    eng.yolo = _StubYolo(_mk_pred([]))
+    frame = np.zeros((160, 160, 3), np.uint8)
+    out = eng.infer_frame_low_bw(frame)
+    assert out["keypoints"].shape == (0, 17, 2)
+    assert out["boxes"].shape == (0, 4)
+    assert out["bytes_uploaded"] < frame.nbytes

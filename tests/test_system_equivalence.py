@@ -370,7 +370,7 @@ def test_offset_detbbox_flip(tmp_path):
     trained weights, exact agreement."""
     _case(tmp_path, "pose_hrnet", "offset",
           use_gt_bbox=False, flip=True, extra=TINY_HRNET_EXTRA,
-          trained=True)
+          trained=True, train_epochs=30, hm_loss_max=0.04)
 
 
 def test_gaussian_gtbbox_noflip(tmp_path):
@@ -393,7 +393,8 @@ def test_mobile_offset_gtbbox_flip(tmp_path):
     mobile zoo through the composed pipeline, trained weights (also
     drives the pose_mobile flax→torch reverse bridge end-to-end)."""
     _case(tmp_path, "pose_shufflenetv2_plus", "offset",
-          use_gt_bbox=True, flip=True, extra=SHUFFLE_EXTRA, trained=True)
+          use_gt_bbox=True, flip=True, extra=SHUFFLE_EXTRA, trained=True,
+          train_epochs=30, hm_loss_max=0.04)
 
 
 def test_psa_offset_gtbbox_flip(tmp_path):
@@ -403,7 +404,7 @@ def test_psa_offset_gtbbox_flip(tmp_path):
     argmax ties); with trained peaked heatmaps agreement is exact."""
     _case(tmp_path, "pose_hrnet_psa", "offset",
           use_gt_bbox=True, flip=True, extra=TINY_HRNET_EXTRA,
-          trained=True)
+          trained=True, train_epochs=30, hm_loss_max=0.04)
 
 
 def test_flagship_w32_256x192_composed(tmp_path):

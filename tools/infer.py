@@ -41,6 +41,10 @@ def parse_args():
                    help="compile detect+pose into ONE device dispatch per "
                         "frame (engine/fused.py; needs --detector)")
     p.add_argument("--max-persons", type=int, default=16)
+    p.add_argument("--low-bw", action="store_true",
+                   help="with --fused: bytes-minimising serving mode — "
+                        "host letterbox upload + native host crops "
+                        "(wins on slow host→device links)")
     p.add_argument("--chunk", type=int, default=1,
                    help="with --fused on video files: frames per dispatch "
                         "(batched offline-video mode; amortises host "
@@ -148,7 +152,8 @@ def main():
         rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
         if fused is not None and not (label_det and path):
             fps.start()
-            out = fused.infer_frame(rgb)
+            out = (fused.infer_frame_low_bw(rgb) if args.low_bw
+                   else fused.infer_frame(rgb))
             fps.stop(sync_value=out["keypoints"], debug=args.show_fps)
             if args.save_pose_txt and path and len(out["keypoints"]):
                 write_pose_txt(path, out["keypoints"], out["maxvals"],

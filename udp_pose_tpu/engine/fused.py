@@ -72,26 +72,10 @@ class FusedDetectPose:
 
     # ------------------------------------------------------------ graph
 
-    def _build(self, H: int, W: int):
-        import jax
-        import jax.numpy as jnp
-
-        from ..core.train import normalize_images
-        from ..ops.affine import classic_affine_matrix, crop_boxes
-        from ..ops.boxes import xyxy_to_cs
-        from ..ops.decode import get_final_preds
-        from ..ops.flip import flip_back, flip_back_offset
-        from ..ops.nms import nms_jax
-
-        cfg = self.cfg
-        pw, ph = self._pose.input_wh
-        target_type = cfg.MODEL.TARGET_TYPE
-        pairs = tuple(map(tuple, self._pose.flip_pairs))
-        flip = self._pose._flip
+    def _letterbox_geom(self, H: int, W: int):
+        """Static letterbox geometry (boxes.py letterbox :19-35) shared by
+        the on-device letterbox and the host (--low-bw) letterbox."""
         det = self.det_size
-        M = self.max_persons
-
-        # static letterbox geometry (boxes.py letterbox :19-35)
         r = min(det / H, det / W)
         nH, nW = round(H * r), round(W * r)
         pH = (det - nH) % 32 / 2
@@ -103,6 +87,72 @@ class FusedDetectPose:
         # scale_boxes uses the letterboxed canvas size (boxes.py:38-50)
         pad_y = ((nH + top + bottom) - H * gain) / 2
         pad_x = ((nW + left + right) - W * gain) / 2
+        return dict(nH=nH, nW=nW, top=top, bottom=bottom, left=left,
+                    right=right, gain=gain, pad_x=pad_x, pad_y=pad_y)
+
+    def _det_post(self, jnp, jax, pred, geom, H, W):
+        """Detector postprocess on device: best-class person filter →
+        top-k → greedy NMS → frame-coord scale-back (+5 px pad).
+        Returns (out_boxes (M,4), scores (M,), valid (M,))."""
+        from ..ops.nms import nms_jax
+
+        M = self.max_persons
+        obj = pred[:, 4]
+        cls_conf = pred[:, 5:] * obj[:, None]
+        best = jnp.argmax(cls_conf, axis=1)
+        conf = jnp.max(cls_conf, axis=1)
+        keep = ((obj > self.conf_thres) & (conf > self.conf_thres)
+                & (best == self.person_class))
+        scores = jnp.where(keep, conf, -jnp.inf)
+
+        k = min(self.topk, scores.shape[0])
+        top_scores, idx = jax.lax.top_k(scores, k)
+        xywh = pred[idx, :4]
+        boxes = jnp.stack([xywh[:, 0] - xywh[:, 2] / 2,
+                           xywh[:, 1] - xywh[:, 3] / 2,
+                           xywh[:, 0] + xywh[:, 2] / 2,
+                           xywh[:, 1] + xywh[:, 3] / 2], axis=1)
+
+        keep_idx, _ = nms_jax(boxes, top_scores, self.iou_thres, M,
+                              plus_one=False)
+        valid = keep_idx >= 0
+        sel = jnp.maximum(keep_idx, 0)
+        b = boxes[sel]
+        sc = jnp.where(valid, top_scores[sel], 0.0)
+        valid = valid & (sc > 0.0)
+
+        bx = (b[:, 0::2] - geom["pad_x"]) / geom["gain"]
+        by = (b[:, 1::2] - geom["pad_y"]) / geom["gain"]
+        bx = jnp.round(jnp.clip(bx, 0, W))
+        by = jnp.round(jnp.clip(by, 0, H))
+        x1 = jnp.maximum(0.0, bx[:, 0] - 5)
+        y1 = jnp.maximum(0.0, by[:, 0] - 5)
+        x2 = jnp.minimum(float(W), bx[:, 1] + 5)
+        y2 = jnp.minimum(float(H), by[:, 1] + 5)
+        out_boxes = jnp.stack([x1, y1, x2, y2], axis=1)
+        return out_boxes, sc, valid
+
+    def _build(self, H: int, W: int):
+        import jax
+        import jax.numpy as jnp
+
+        from ..core.train import normalize_images
+        from ..ops.affine import classic_affine_matrix, crop_boxes
+        from ..ops.boxes import xyxy_to_cs
+        from ..ops.decode import get_final_preds
+        from ..ops.flip import flip_back, flip_back_offset
+
+        cfg = self.cfg
+        pw, ph = self._pose.input_wh
+        target_type = cfg.MODEL.TARGET_TYPE
+        pairs = tuple(map(tuple, self._pose.flip_pairs))
+        flip = self._pose._flip
+        M = self.max_persons
+
+        geom = self._letterbox_geom(H, W)
+        nH, nW = geom["nH"], geom["nW"]
+        top, bottom = geom["top"], geom["bottom"]
+        left, right = geom["left"], geom["right"]
 
         def run(pose_vars, yolo_vars, frame_u8):
             frame = frame_u8.astype(jnp.float32)
@@ -115,42 +165,10 @@ class FusedDetectPose:
                           constant_values=114.0)
             x_det = img[None] / 255.0
             pred = self.yolo.apply(yolo_vars, x_det, train=False)[0]
-
-            # -- best-class scores, person filter (boxes.py:78-92)
-            obj = pred[:, 4]
-            cls_conf = pred[:, 5:] * obj[:, None]
-            best = jnp.argmax(cls_conf, axis=1)
-            conf = jnp.max(cls_conf, axis=1)
-            keep = ((obj > self.conf_thres) & (conf > self.conf_thres)
-                    & (best == self.person_class))
-            scores = jnp.where(keep, conf, -jnp.inf)
-
-            k = min(self.topk, scores.shape[0])
-            top_scores, idx = jax.lax.top_k(scores, k)
-            xywh = pred[idx, :4]
-            boxes = jnp.stack([xywh[:, 0] - xywh[:, 2] / 2,
-                               xywh[:, 1] - xywh[:, 3] / 2,
-                               xywh[:, 0] + xywh[:, 2] / 2,
-                               xywh[:, 1] + xywh[:, 3] / 2], axis=1)
-
-            keep_idx, _ = nms_jax(boxes, top_scores, self.iou_thres, M,
-                                  plus_one=False)
-            valid = keep_idx >= 0
-            sel = jnp.maximum(keep_idx, 0)
-            b = boxes[sel]
-            sc = jnp.where(valid, top_scores[sel], 0.0)
-            valid = valid & (sc > 0.0)
-
-            # -- back to frame coords (boxes.py:38-50) + ±5 px pad
-            bx = (b[:, 0::2] - pad_x) / gain
-            by = (b[:, 1::2] - pad_y) / gain
-            bx = jnp.round(jnp.clip(bx, 0, W))
-            by = jnp.round(jnp.clip(by, 0, H))
-            x1 = jnp.maximum(0.0, bx[:, 0] - 5)
-            y1 = jnp.maximum(0.0, by[:, 0] - 5)
-            x2 = jnp.minimum(float(W), bx[:, 1] + 5)
-            y2 = jnp.minimum(float(H), by[:, 1] + 5)
-            out_boxes = jnp.stack([x1, y1, x2, y2], axis=1)
+            # best-class person filter → top-k → NMS → frame coords
+            # (boxes.py:78-92, :38-50) + ±5 px pad
+            out_boxes, sc, valid = self._det_post(jnp, jax, pred, geom,
+                                                  H, W)
 
             # -- pose: batched crop → forward → decode
             center, scale = xyxy_to_cs(out_boxes, (pw, ph))
@@ -174,6 +192,172 @@ class FusedDetectPose:
             return preds, maxvals, out_boxes, sc, valid
 
         return jax.jit(run)
+
+    # ------------------------------------------------- low-bandwidth mode
+
+    def _build_det_lowbw(self, H: int, W: int):
+        """Detection-only graph taking the HOST-letterboxed u8 canvas —
+        the canvas is ~2-4x smaller than the raw frame, so this is the
+        upload-bytes-minimising serving shape for slow links."""
+        import jax
+        import jax.numpy as jnp
+
+        geom = self._letterbox_geom(H, W)
+
+        def run_det(yolo_vars, canvas_u8):
+            x_det = canvas_u8.astype(jnp.float32)[None] / 255.0
+            pred = self.yolo.apply(yolo_vars, x_det, train=False)[0]
+            return self._det_post(jnp, jax, pred, geom, H, W)
+
+        return jax.jit(run_det)
+
+    def _build_pose_lowbw(self, n_crops: int):
+        """Pose graph over HOST-cropped u8 person patches (native OpenMP
+        warp, udppose_native.cpp:64-74): upload n x ph x pw x 3 bytes
+        instead of the whole frame.  Bucketed per crop count."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..core.train import normalize_images
+        from ..ops.decode import get_final_preds
+        from ..ops.flip import flip_back, flip_back_offset
+
+        cfg = self.cfg
+        target_type = cfg.MODEL.TARGET_TYPE
+        pairs = tuple(map(tuple, self._pose.flip_pairs))
+        flip = self._pose._flip
+
+        def run_pose(pose_vars, crops_u8, center, scale):
+            xc = normalize_images(crops_u8)
+            if flip:
+                xc = jnp.concatenate([xc, xc[:, :, ::-1, :]], axis=0)
+            out = self._pose.model.apply(pose_vars, xc, train=False)
+            hm = out.transpose(0, 3, 1, 2).astype(jnp.float32)
+            if flip:
+                hm, hm_f = hm[:n_crops], hm[n_crops:]
+                hm_f = (flip_back_offset(hm_f, pairs)
+                        if target_type == "offset"
+                        else flip_back(hm_f, pairs))
+                hm = (hm + hm_f) * 0.5
+            preds, maxvals, _ = get_final_preds(
+                hm, center, scale, target_type=target_type,
+                post_process=cfg.TEST.POST_PROCESS, kpd=cfg.LOSS.KPD)
+            return preds, maxvals
+
+        return jax.jit(run_pose)
+
+    def _letterbox_host(self, frame):
+        """Host letterbox with the same static geometry as the device
+        path (cv2 INTER_LINEAR — the behaviour the device path was
+        parity-matched to)."""
+        H, W = frame.shape[:2]
+        g = self._letterbox_geom(H, W)
+        try:
+            import cv2
+            img = cv2.resize(frame, (g["nW"], g["nH"]),
+                             interpolation=cv2.INTER_LINEAR)
+        except ImportError:     # pure-numpy bilinear fallback
+            ys = (np.arange(g["nH"]) + 0.5) * H / g["nH"] - 0.5
+            xs = (np.arange(g["nW"]) + 0.5) * W / g["nW"] - 0.5
+            y0 = np.clip(np.floor(ys).astype(int), 0, H - 1)
+            x0 = np.clip(np.floor(xs).astype(int), 0, W - 1)
+            y1 = np.minimum(y0 + 1, H - 1)
+            x1 = np.minimum(x0 + 1, W - 1)
+            wy = np.clip(ys - y0, 0, 1)[:, None, None]
+            wx = np.clip(xs - x0, 0, 1)[None, :, None]
+            f = frame.astype(np.float32)
+            img = ((f[y0][:, x0] * (1 - wy) + f[y1][:, x0] * wy) * (1 - wx)
+                   + (f[y0][:, x1] * (1 - wy) + f[y1][:, x1] * wy) * wx)
+            img = np.clip(np.rint(img), 0, 255).astype(np.uint8)
+        canvas = np.full((g["nH"] + g["top"] + g["bottom"],
+                          g["nW"] + g["left"] + g["right"], 3), 114,
+                         np.uint8)
+        canvas[g["top"]:g["top"] + g["nH"],
+               g["left"]:g["left"] + g["nW"]] = img
+        return canvas
+
+    @staticmethod
+    def _classic_mats_np(center, scale, out_size_wh):
+        """Numpy twin of ops.affine.classic_affine_matrix(..., inv=True)
+        at rot=0 (host-side: avoids eager device round trips for a
+        handful of 2x3 matrices)."""
+        from ..ops.affine import PIXEL_STD
+        center = np.asarray(center, np.float32)
+        s200 = np.asarray(scale, np.float32) * PIXEL_STD
+        dst_w, dst_h = float(out_size_wh[0]), float(out_size_wh[1])
+        n = center.shape[0]
+        mats = np.zeros((n, 2, 3), np.float32)
+        # dst→src at rot=0.  The 3-point construction makes the y-scale
+        # EQUAL the x-scale (src_w/dst_w, transforms.py:77-109) — the
+        # boxes always arrive aspect-matched from xyxy_to_cs so
+        # s200[1]/dst_h is the same number, but the isotropic form is
+        # the exact closed form of the reference transform.
+        s = s200[:, 0] / dst_w
+        mats[:, 0, 0] = s
+        mats[:, 1, 1] = s
+        mats[:, 0, 2] = center[:, 0] - dst_w * 0.5 * s
+        mats[:, 1, 2] = center[:, 1] - dst_h * 0.5 * s
+        return mats
+
+    def infer_frame_low_bw(self, frame):
+        """Bytes-minimising two-dispatch serving mode (VERDICT r2 #5).
+
+        Upload 1: the host-letterboxed canvas (u8, ~2-4x smaller than the
+        frame) → device detection (same YOLO + top-k + NMS graph).
+        Upload 2: the detected persons host-cropped with the native
+        OpenMP warp (u8, bucketed count) → device pose + decode.
+
+        Wins whenever host→device bandwidth is the bottleneck (measured
+        ~18 MB/s on the axon tunnel); on PCIe-attached accelerators
+        infer_frame's single dispatch is preferred.  Returns the same
+        dict as infer_frame plus 'bytes_uploaded'."""
+        import jax
+
+        from ..native import warp_affine_batch
+        from ..ops.boxes import xyxy_to_cs
+
+        H, W = frame.shape[:2]
+        canvas = self._letterbox_host(frame)
+        det = self._runs.get(("det", H, W))
+        if det is None:
+            det = self._runs[("det", H, W)] = self._build_det_lowbw(H, W)
+        boxes, scores, valid = jax.device_get(
+            det(self.yolo_vars, canvas))
+        n = int(valid.astype(np.int32).sum())
+        assert valid[:n].all(), "low-bw: valid rows are not a prefix"
+        J = self.num_joints
+        if n == 0:
+            return {"keypoints": np.zeros((0, J, 2), np.float32),
+                    "maxvals": np.zeros((0, J, 1), np.float32),
+                    "boxes": np.zeros((0, 4), np.float32),
+                    "scores": np.zeros((0,), np.float32),
+                    "bytes_uploaded": canvas.nbytes}
+
+        pw, ph = self._pose.input_wh
+        bucket = 1
+        while bucket < n:
+            bucket *= 2
+        bucket = min(bucket, self.max_persons)
+        center, scale = xyxy_to_cs(boxes[:n, :4], (pw, ph))
+        pad = bucket - n
+        center_p = np.concatenate([center, np.tile(center[:1], (pad, 1))])
+        scale_p = np.concatenate([scale, np.tile(scale[:1], (pad, 1))])
+        mats = self._classic_mats_np(center_p, scale_p, (pw, ph))
+        crops = warp_affine_batch(np.ascontiguousarray(frame), mats,
+                                  (ph, pw))
+        crops_u8 = np.clip(np.rint(crops), 0, 255).astype(np.uint8)
+
+        pose = self._runs.get(("pose_lowbw", bucket))
+        if pose is None:
+            pose = self._runs[("pose_lowbw", bucket)] = \
+                self._build_pose_lowbw(bucket)
+        preds, maxvals = jax.device_get(
+            pose(self._pose.variables, crops_u8, center_p, scale_p))
+        return {"keypoints": np.asarray(preds)[:n],
+                "maxvals": np.asarray(maxvals)[:n],
+                "boxes": boxes[:n], "scores": scores[:n],
+                "bytes_uploaded": canvas.nbytes + crops_u8.nbytes
+                + center_p.nbytes + scale_p.nbytes}
 
     # -------------------------------------------------------------- API
 
