@@ -119,3 +119,55 @@ def test_unknown_model_raises():
     cfg.MODEL.NAME = "nope"
     with pytest.raises(KeyError):
         build_model(cfg)
+
+
+def test_hrnet_remat_stem_is_math_identical():
+    """PoseHRNet.remat_stem (perf knob, DESIGN.md train study): same
+    param tree, same outputs — only the bwd recompute schedule changes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from udp_pose_tpu.config import default_config
+    from udp_pose_tpu.models import build_model
+
+    cfg = default_config()
+    cfg.MODEL.NAME = "pose_hrnet"
+    cfg.MODEL.TARGET_TYPE = "gaussian"
+    cfg.MODEL.IMAGE_SIZE = [64, 64]
+    cfg.MODEL.HEATMAP_SIZE = [16, 16]
+    cfg.TPU.DTYPE = "float32"
+    cfg.MODEL.EXTRA.merge_from_dict({
+        "FINAL_CONV_KERNEL": 1,
+        "STAGE2": {"NUM_MODULES": 1, "NUM_BRANCHES": 2, "BLOCK": "BASIC",
+                   "NUM_BLOCKS": [1, 1], "NUM_CHANNELS": [16, 32],
+                   "FUSE_METHOD": "SUM"},
+        "STAGE3": {"NUM_MODULES": 1, "NUM_BRANCHES": 3, "BLOCK": "BASIC",
+                   "NUM_BLOCKS": [1, 1, 1], "NUM_CHANNELS": [16, 32, 64],
+                   "FUSE_METHOD": "SUM"},
+        "STAGE4": {"NUM_MODULES": 1, "NUM_BRANCHES": 4, "BLOCK": "BASIC",
+                   "NUM_BLOCKS": [1, 1, 1, 1],
+                   "NUM_CHANNELS": [16, 32, 64, 128],
+                   "FUSE_METHOD": "SUM"},
+    })
+    plain = build_model(cfg)
+    remat = plain.clone(remat_stem=True)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 64, 64, 3)).astype(np.float32))
+    v_plain = plain.init(jax.random.PRNGKey(0), x, train=False)
+    v_remat = remat.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_structure(v_plain) == \
+        jax.tree_util.tree_structure(v_remat)
+    y1 = plain.apply(v_plain, x, train=False)
+    y2 = remat.apply(v_plain, x, train=False)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+    # grads identical too (remat only changes the recompute schedule)
+    def loss(model, v):
+        return jnp.sum(model.apply(v, x, train=False) ** 2)
+
+    g1 = jax.grad(lambda v: loss(plain, v))(v_plain)
+    g2 = jax.grad(lambda v: loss(remat, v))(v_plain)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7), g1, g2)

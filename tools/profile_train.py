@@ -17,7 +17,7 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def main(variants):
+def main(variants, B=128):
     import jax
     import jax.numpy as jnp
     import optax
@@ -28,7 +28,6 @@ def main(variants):
                                          make_train_step, normalize_images)
     from udp_pose_tpu.models import build_model
 
-    B = 128
     rng_np = np.random.default_rng(1)
     batch_np = {
         "image": rng_np.integers(0, 256, (B, 256, 192, 3)).astype(np.uint8),
@@ -37,11 +36,13 @@ def main(variants):
     }
     device_batch = {k: jax.device_put(v) for k, v in batch_np.items()}
 
-    def build_state(modules=(1, 4, 3)):
+    def build_state(modules=(1, 4, 3), remat_stem=False):
         cfg = _hrnet_w32_cfg((192, 256), (48, 64), dtype="bfloat16")
         for k, m in zip(("STAGE2", "STAGE3", "STAGE4"), modules):
             cfg.MODEL.EXTRA[k]["NUM_MODULES"] = m
         model = build_model(cfg)
+        if remat_stem:
+            model = model.clone(remat_stem=True)
         state = create_train_state(cfg, model, jax.random.PRNGKey(0), 1000)
         return cfg, model, state
 
@@ -190,6 +191,12 @@ def main(variants):
 
             results[v] = timeit("v_no_adam", state,
                                jax.jit(step, donate_argnums=(0,)), prep_norm)
+        elif v == "v_remat_stem":
+            # selective remat: recompute only the memory-bound hi-res
+            # stem/layer1 activations in bwd
+            cfg, model, state = build_state(remat_stem=True)
+            step = make_train_step(make_loss_fn(cfg))
+            results[v] = timeit("v_remat_stem", state, step, prep_norm)
         elif v.startswith("v_mod_"):
             # marginal stage cost, e.g. v_mod_1_1_3
             mods = tuple(int(c) for c in v.split("_")[2:])
@@ -287,4 +294,5 @@ def run_remat(jax, jnp, optax, timeit, prep_norm, build_state, policy):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:] or ["v0"])
+    import os
+    main(sys.argv[1:] or ["v0"], B=int(os.environ.get("PROF_B", "128")))

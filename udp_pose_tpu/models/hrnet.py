@@ -112,16 +112,25 @@ class PoseHRNet(nn.Module):
     target_type: str = "gaussian"
     final_conv_kernel: int = 1
     psa: bool = False
+    #: remat the hi-res stem/layer1 activations in the backward pass
+    #: (trades recompute FLOPs for HBM traffic on the memory-bound
+    #: 128×96/64×48 tensors; perf knob, math-identical, param paths
+    #: unchanged — see DESIGN.md train study)
+    remat_stem: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        ConvBN_ = (nn.remat(ConvBN, static_argnums=(2,))
+                   if self.remat_stem else ConvBN)
+        Bottleneck_ = (nn.remat(Bottleneck, static_argnums=(2,))
+                       if self.remat_stem else Bottleneck)
         # stem: two 3x3/s2 convs (pose_hrnet.py:290-297)
-        x = ConvBN(64, 3, 2, dtype=self.dtype, name="stem1")(x, train)
-        x = ConvBN(64, 3, 2, dtype=self.dtype, name="stem2")(x, train)
+        x = ConvBN_(64, 3, 2, dtype=self.dtype, name="stem1")(x, train)
+        x = ConvBN_(64, 3, 2, dtype=self.dtype, name="stem2")(x, train)
         for bi in range(4):
-            x = Bottleneck(64, 1, downsample=(bi == 0), dtype=self.dtype,
-                           name=f"layer1_{bi}")(x, train)
+            x = Bottleneck_(64, 1, downsample=(bi == 0), dtype=self.dtype,
+                            name=f"layer1_{bi}")(x, train)
         xs = [x]
         prev_ch = [256]
 
