@@ -135,6 +135,47 @@ void oks_iou_native(const float* g, const float* d, int n, int J,
     }
 }
 
-int native_version() { return 1; }
+// Bilinear resize of an HxWxC uint8 image (cv2.resize INTER_LINEAR
+// semantics: half-pixel centre mapping src = (dst+0.5)*scale-0.5 with
+// edge clamping).  Used by the --low-bw host letterbox when cv2 is
+// absent — float accumulate, round-half-up to uint8 (within 1 LSB of
+// cv2's 2048-scale fixed-point arithmetic).  OpenMP over output rows.
+void resize_bilinear_u8(const uint8_t* img, int H, int W, int C,
+                        uint8_t* out, int oh, int ow) {
+    const float sy_scale = (float)H / oh;
+    const float sx_scale = (float)W / ow;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int y = 0; y < oh; ++y) {
+        float sy = (y + 0.5f) * sy_scale - 0.5f;
+        if (sy < 0.f) sy = 0.f;
+        int y0 = (int)sy;
+        if (y0 > H - 1) y0 = H - 1;
+        int y1 = y0 + 1 < H ? y0 + 1 : H - 1;
+        const float ay = sy - y0;
+        for (int x = 0; x < ow; ++x) {
+            float sx = (x + 0.5f) * sx_scale - 0.5f;
+            if (sx < 0.f) sx = 0.f;
+            int x0 = (int)sx;
+            if (x0 > W - 1) x0 = W - 1;
+            int x1 = x0 + 1 < W ? x0 + 1 : W - 1;
+            const float ax = sx - x0;
+            const uint8_t* p00 = img + ((size_t)y0 * W + x0) * C;
+            const uint8_t* p01 = img + ((size_t)y0 * W + x1) * C;
+            const uint8_t* p10 = img + ((size_t)y1 * W + x0) * C;
+            const uint8_t* p11 = img + ((size_t)y1 * W + x1) * C;
+            uint8_t* dst = out + ((size_t)y * ow + x) * C;
+            for (int c = 0; c < C; ++c) {
+                const float v =
+                    (1 - ax) * (1 - ay) * p00[c] + ax * (1 - ay) * p01[c] +
+                    (1 - ax) * ay * p10[c] + ax * ay * p11[c];
+                dst[c] = (uint8_t)(v + 0.5f);
+            }
+        }
+    }
+}
+
+int native_version() { return 2; }
 
 }  // extern "C"

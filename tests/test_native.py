@@ -47,3 +47,33 @@ def test_native_oks_iou_matches_python():
     got = native.oks_iou(kpts[0], kpts[1:], areas[0], areas[1:],
                          pynms.COCO_SIGMAS)
     np.testing.assert_allclose(got, gold, rtol=1e-4)
+
+
+def test_resize_bilinear_cv2_parity():
+    """Native (and numpy-fallback) bilinear u8 resize vs cv2
+    INTER_LINEAR: within 1 LSB everywhere, across up/down-scales and
+    odd sizes (the --low-bw host letterbox contract)."""
+    import cv2
+
+    from udp_pose_tpu import native
+
+    rng = np.random.default_rng(0)
+    for (H, W, oh, ow) in [(720, 1280, 360, 640), (240, 320, 96, 128),
+                           (500, 333, 250, 166), (101, 77, 321, 211)]:
+        img = rng.integers(0, 256, (H, W, 3)).astype(np.uint8)
+        ref = cv2.resize(img, (ow, oh), interpolation=cv2.INTER_LINEAR)
+        got = native.resize_bilinear(img, (oh, ow))
+        assert got.dtype == np.uint8 and got.shape == ref.shape
+        d = np.abs(got.astype(int) - ref.astype(int))
+        assert d.max() <= 1, d.max()
+        # exercise the pure-numpy branch explicitly
+        lib, native._lib = native._lib, None
+        orig_try = native._try_load
+        native._try_load = lambda: None
+        try:
+            got_np = native.resize_bilinear(img, (oh, ow))
+        finally:
+            native._try_load = orig_try
+            native._lib = lib
+        d2 = np.abs(got_np.astype(int) - ref.astype(int))
+        assert d2.max() <= 1, d2.max()

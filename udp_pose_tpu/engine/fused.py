@@ -256,19 +256,11 @@ class FusedDetectPose:
             import cv2
             img = cv2.resize(frame, (g["nW"], g["nH"]),
                              interpolation=cv2.INTER_LINEAR)
-        except ImportError:     # pure-numpy bilinear fallback
-            ys = (np.arange(g["nH"]) + 0.5) * H / g["nH"] - 0.5
-            xs = (np.arange(g["nW"]) + 0.5) * W / g["nW"] - 0.5
-            y0 = np.clip(np.floor(ys).astype(int), 0, H - 1)
-            x0 = np.clip(np.floor(xs).astype(int), 0, W - 1)
-            y1 = np.minimum(y0 + 1, H - 1)
-            x1 = np.minimum(x0 + 1, W - 1)
-            wy = np.clip(ys - y0, 0, 1)[:, None, None]
-            wx = np.clip(xs - x0, 0, 1)[None, :, None]
-            f = frame.astype(np.float32)
-            img = ((f[y0][:, x0] * (1 - wy) + f[y1][:, x0] * wy) * (1 - wx)
-                   + (f[y0][:, x1] * (1 - wy) + f[y1][:, x1] * wy) * wx)
-            img = np.clip(np.rint(img), 0, 255).astype(np.uint8)
+        except ImportError:
+            # native OpenMP kernel (numpy fallback inside): parity with
+            # cv2 INTER_LINEAR within 1 u8 LSB (tested)
+            from ..native import resize_bilinear
+            img = resize_bilinear(frame, (g["nH"], g["nW"]))
         canvas = np.full((g["nH"] + g["top"] + g["bottom"],
                           g["nW"] + g["left"] + g["right"], 3), 114,
                          np.uint8)

@@ -24,12 +24,17 @@ def _try_load():
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists():
+    src = _NATIVE_DIR / "udppose_native.cpp"
+    stale = (not _LIB_PATH.exists()
+             or (src.exists()
+                 and src.stat().st_mtime > _LIB_PATH.stat().st_mtime))
+    if stale:
         try:
-            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
-                           capture_output=True, timeout=120)
+            subprocess.run(["make", "-C", str(_NATIVE_DIR), "-B"],
+                           check=True, capture_output=True, timeout=120)
         except Exception:
-            return None
+            if not _LIB_PATH.exists():
+                return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError:
@@ -48,6 +53,11 @@ def _try_load():
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float)]
     lib.native_version.restype = ctypes.c_int
+    if lib.native_version() >= 2:
+        lib.resize_bilinear_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.c_int]
     _lib = lib
     return lib
 
@@ -132,3 +142,31 @@ def oks_iou(g, d, a_g, a_d, sigmas):
     lib.oks_iou_native(_fptr(g), _fptr(d), d.shape[0], J, float(a_g),
                        _fptr(a_d), _fptr(sig), _fptr(out))
     return out
+
+
+def resize_bilinear(img: np.ndarray, out_hw) -> np.ndarray:
+    """cv2.resize(INTER_LINEAR)-style bilinear u8 resize (half-pixel
+    centres, edge clamp).  Native OpenMP kernel when built; numpy
+    fallback otherwise.  Used by the --low-bw host letterbox."""
+    lib = _try_load()
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    img = np.ascontiguousarray(img, np.uint8)
+    H, W, C = img.shape
+    if lib is not None and lib.native_version() >= 2:
+        out = np.empty((oh, ow, C), np.uint8)
+        lib.resize_bilinear_u8(
+            img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), H, W, C,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), oh, ow)
+        return out
+    ys = np.clip((np.arange(oh) + 0.5) * H / oh - 0.5, 0, None)
+    xs = np.clip((np.arange(ow) + 0.5) * W / ow - 0.5, 0, None)
+    y0 = np.clip(ys.astype(int), 0, H - 1)
+    x0 = np.clip(xs.astype(int), 0, W - 1)
+    y1 = np.minimum(y0 + 1, H - 1)
+    x1 = np.minimum(x0 + 1, W - 1)
+    ay = (ys - y0)[:, None, None]
+    ax = (xs - x0)[None, :, None]
+    f = img.astype(np.float32)
+    v = ((f[y0][:, x0] * (1 - ay) + f[y1][:, x0] * ay) * (1 - ax)
+         + (f[y0][:, x1] * (1 - ay) + f[y1][:, x1] * ay) * ax)
+    return np.clip(v + 0.5, 0, 255).astype(np.uint8)
