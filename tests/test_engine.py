@@ -1,6 +1,7 @@
 """Inference engine tests: YOLO post, crop geometry, detect-then-pose E2E."""
 
 import cv2
+import os
 import numpy as np
 import pytest
 
@@ -208,3 +209,42 @@ def test_pose_pipeline_mesh_sharded_matches_single():
     k2, m2 = sharded.infer_pose(frame, boxes)
     np.testing.assert_allclose(k2, k1, rtol=1e-5, atol=1e-4)
     np.testing.assert_allclose(m2, m1, rtol=1e-5, atol=1e-5)
+
+
+def test_pipeline_loads_onnx_artifact(tmp_path):
+    """UdpPosePipeline(weights='x.onnx') — the reference's UdpPsaPoseOnnx
+    surface (pose_engine.py:130-151) on the native path: the exported
+    graph's initializers are reference-format torch tensors, so a .onnx
+    artifact round-trips into flax and the pipeline's keypoints equal
+    the original weights'."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_onnx_export import _base_cfg, _small_variables
+
+    from udp_pose_tpu.engine.pose_engine import UdpPosePipeline
+    from udp_pose_tpu.export import export_onnx_from_cfg
+    from udp_pose_tpu.models import build_model
+
+    cfg = _base_cfg("pose_resnet", "gaussian")
+    cfg.MODEL.EXTRA.merge_from_dict({
+        "NUM_LAYERS": 18, "NUM_DECONV_LAYERS": 2,
+        "NUM_DECONV_FILTERS": [64, 64], "NUM_DECONV_KERNELS": [4, 4],
+        "DECONV_WITH_BIAS": False, "FINAL_CONV_KERNEL": 1})
+    cfg.TEST.FLIP_TEST = False
+    model = build_model(cfg)
+    variables = _small_variables(model, (1, 128, 96, 3), seed=2)
+    blob = export_onnx_from_cfg(variables, cfg, batch=1)
+    onnx_path = str(tmp_path / "tiny.onnx")
+    with open(onnx_path, "wb") as f:
+        f.write(blob)
+
+    rng = np.random.default_rng(8)
+    frame = rng.integers(0, 255, (200, 150, 3)).astype(np.uint8)
+    boxes = np.array([[10, 10, 120, 180]], np.float32)
+
+    ref_pipe = UdpPosePipeline(cfg, variables)
+    kp_ref, mv_ref = ref_pipe.infer_pose(frame, boxes)
+    onnx_pipe = UdpPosePipeline(cfg, onnx_path)
+    kp, mv = onnx_pipe.infer_pose(frame, boxes)
+    np.testing.assert_allclose(kp, kp_ref, atol=1e-3)
+    np.testing.assert_allclose(mv, mv_ref, atol=1e-5)

@@ -77,6 +77,18 @@ class UdpPosePipeline:
             from ..utils.torch_convert import load_torch_state_dict
             sd = load_torch_state_dict(weights)
             return self._convert(sd)
+        if weights and str(weights).endswith(".onnx"):
+            # the reference ships UdpPsaPoseOnnx (pose_engine.py:130-151);
+            # here a .onnx artifact loads back into the NATIVE TPU path:
+            # our exporter names initializers with the reference torch
+            # keys (export/onnx_families.py), so the graph's weights ARE
+            # a torch state_dict and convert like a .pth — full TPU
+            # speed instead of a host ONNX runtime.
+            from ..export.onnx_pb import load_model
+            with open(weights, "rb") as f:
+                m = load_model(f.read())
+            sd = {t.name: t.array for t in m.graph.initializers}
+            return self._convert(sd)
         if weights:
             from ..utils.checkpoint import load_weights
             return load_weights(weights)
