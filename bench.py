@@ -121,11 +121,15 @@ def main():
         log(f"engine bench failed: {e!r}")
 
     # ---- secondary model zoo points (BASELINE.md matrix) ----------------
+    # batch picks are the measured knees: RSN18 6503@128 > 5905@256 >
+    # 5296@512; shufflenet 8729@256 > 7449@512
     for label, builder, batch in (
             ("crops_per_sec_rsn18_256x192", _rsn18_cfg, 128),
             ("crops_per_sec_shufflenetv2_plus_256x192",
              _shufflenet_cfg, 256),
-            ("crops_per_sec_w48_384x288", _w48_cfg, 32),
+            ("crops_per_sec_w48_384x288", _w48_cfg, 48),
+            # B=48 is the measured knee: 495.6 (B=32) → 565.9 (B=48)
+            # → 517.5 (B=64) crops/s
     ):
         try:
             result[label] = round(
