@@ -99,10 +99,6 @@ def main():
     # secondary bench still records it.
     _arm_emergency_dump(result)
 
-    # ---- virtual-mesh sharding-overhead child (CPU-only; runs
-    # concurrently with the TPU benches below) --------------------------
-    scaling_proc = _spawn_scaling_child()
-
     # ---- training-step throughput (fwd+bwd+adam, offset loss) -----------
     try:
         train_sps, train_tfs = bench_train(jax, jnp)
@@ -137,68 +133,52 @@ def main():
         except Exception as e:
             log(f"{label} failed: {e!r}")
 
-    # ---- collect the scaling child ---------------------------------------
+    # ---- virtual-mesh sharding-overhead child (CPU-only; runs LAST and
+    # serially — it saturates host cores, which would skew the host-CPU-
+    # heavy low-bw engine bench and its own sps_1-vs-sps_n symmetry) ----
+    import subprocess
+    proc = subprocess.Popen(
+        [sys.executable, "tools/bench_scaling.py", "8"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
     try:
-        out, _ = scaling_proc.communicate(timeout=600)
+        out, err = proc.communicate(timeout=600)
         line = [l for l in out.strip().splitlines()
                 if l.startswith("{")][-1]
         result["virtual_mesh_sharding"] = json.loads(line)
     except Exception as e:
-        log(f"scaling child failed: {e!r}")
+        proc.kill()
+        _out, err = proc.communicate()
+        log(f"scaling child failed: {e!r}; stderr tail: {err[-500:]}")
 
     print(json.dumps(result), flush=True)
     _DUMPED["done"] = True
 
 
-def _spawn_scaling_child():
-    import subprocess
-    return subprocess.Popen(
-        [sys.executable, "tools/bench_scaling.py", "8"],
-        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+def _zoo_cfg(yaml_name):
+    """Canonical shipped config → bench config (bf16 compute)."""
+    import os
 
-
-COCO_FLIP_PAIRS = ((1, 2), (3, 4), (5, 6), (7, 8), (9, 10), (11, 12),
-                   (13, 14), (15, 16))
+    from udp_pose_tpu.config import load_config
+    cfg = load_config(os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "configs", "coco", yaml_name))
+    cfg.defrost()
+    cfg.TPU.DTYPE = "bfloat16"
+    return cfg
 
 
 def _w48_cfg():
     """Second flagship: HRNet-w48 384×288 + UDP offset (README.md:46)."""
-    from __graft_entry__ import _hrnet_w32_cfg
-    cfg = _hrnet_w32_cfg((288, 384), (72, 96), dtype="bfloat16")
-    for k, chans in (("STAGE2", [48, 96]), ("STAGE3", [48, 96, 192]),
-                     ("STAGE4", [48, 96, 192, 384])):
-        cfg.MODEL.EXTRA[k]["NUM_CHANNELS"] = chans
-    return cfg
+    return _zoo_cfg("hrnet_w48_384x288_udp_offset.yaml")
 
 
 def _rsn18_cfg():
     """Efficiency champion: RSN18 256×192, 2.5 GFLOPs (README.md:40)."""
-    from udp_pose_tpu.config import default_config
-    cfg = default_config()
-    cfg.MODEL.NAME = "rsn"
-    cfg.MODEL.IMAGE_SIZE = [192, 256]
-    cfg.MODEL.HEATMAP_SIZE = [48, 64]
-    cfg.MODEL.EXTRA.merge_from_dict({
-        "STAGE_NUM": 1, "UPSAMPLE_CHANNEL_NUM": 256})
-    cfg.TPU.DTYPE = "bfloat16"
-    return cfg
+    return _zoo_cfg("rsn18_256x192.yaml")
 
 
 def _shufflenet_cfg():
     """Mobile-zoo point: ShuffleNetV2+ Small 256×192."""
-    from udp_pose_tpu.config import default_config
-    cfg = default_config()
-    cfg.MODEL.NAME = "pose_shufflenetv2_plus"
-    cfg.MODEL.TARGET_TYPE = "gaussian"
-    cfg.MODEL.IMAGE_SIZE = [192, 256]
-    cfg.MODEL.HEATMAP_SIZE = [48, 64]
-    cfg.MODEL.EXTRA.merge_from_dict({
-        "MODEL_SIZE": "Small", "NUM_DECONV_LAYERS": 3,
-        "NUM_DECONV_FILTERS": [256, 256, 256],
-        "NUM_DECONV_KERNELS": [4, 4, 4],
-        "DECONV_WITH_BIAS": False, "FINAL_CONV_KERNEL": 1})
-    cfg.TPU.DTYPE = "bfloat16"
-    return cfg
+    return _zoo_cfg("shufflenetv2_plus_small_256x192.yaml")
 
 
 def bench_family(jax, jnp, cfg, batch, iters=(6, 18)):
@@ -213,6 +193,7 @@ def bench_family(jax, jnp, cfg, batch, iters=(6, 18)):
         lambda r: model.init(r, jnp.zeros((1, h, w, 3)), train=False)
     )(jax.random.PRNGKey(0))
     if cfg.MODEL.NAME == "rsn":
+        from udp_pose_tpu.core.infer import COCO_FLIP_PAIRS
         from udp_pose_tpu.core.rsn import make_rsn_infer_fn
         from udp_pose_tpu.data.rsn import RSN_COCO
         infer = make_rsn_infer_fn(

@@ -207,9 +207,9 @@ def test_shard_gather_reassembly_inprocess(tmp_path):
 
         def replay(x):
             out = good(x)
-            if x.dtype == np.uint64:       # corrupt the other host's hash
+            if x.dtype == np.uint32:       # corrupt the other host's hash
                 out = out.copy()
-                out[-1] ^= np.uint64(1)
+                out[-1] ^= np.uint32(1)
             return out
         return replay
 

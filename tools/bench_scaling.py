@@ -11,8 +11,11 @@ Prints one JSON line:
 
 sharding_efficiency = sps_n / sps_1 — 1.0 means partitioning the step
 8 ways (param broadcasts, grad psums, halo logic) costs nothing over
-the unpartitioned program on identical hardware; a drop is pure
-sharding overhead that would also tax a real pod.
+the unpartitioned program on identical hardware.  Caveat: XLA-CPU runs
+each virtual device on its own thread pool, so part of the measured
+drop is host thread scheduling rather than GSPMD-inserted work — the
+number is an upper bound on the partitioning overhead a real ICI mesh
+would see (measured ~0.75 here, min-of-blocks).
 """
 
 from __future__ import annotations
@@ -36,17 +39,15 @@ def main(n_devices=8, total_batch=16, iters=8):
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
 
-    from __graft_entry__ import _hrnet_w32_cfg
+    from __graft_entry__ import _reduced_flagship_cfg
     from udp_pose_tpu.core.loss import make_loss_fn
     from udp_pose_tpu.core.train import create_train_state, make_train_step
     from udp_pose_tpu.models import build_model
     from udp_pose_tpu.parallel import make_mesh, replicated, shard_batch
 
-    # dryrun-style reduced flagship (full topology, 1 module/stage,
-    # 64×64): XLA-CPU compiles it in ~1 min instead of >20
-    cfg = _hrnet_w32_cfg((64, 64), (16, 16), dtype="float32")
-    for k in ("STAGE2", "STAGE3", "STAGE4"):
-        cfg.MODEL.EXTRA[k]["NUM_MODULES"] = 1
+    # the dryrun_multichip proxy program (shared helper): full topology,
+    # 1 module/stage, 64×64 — XLA-CPU compiles in ~1 min instead of >20
+    cfg = _reduced_flagship_cfg()
     model = build_model(cfg)
     step = make_train_step(make_loss_fn(cfg))
     rng = np.random.default_rng(0)
@@ -64,12 +65,15 @@ def main(n_devices=8, total_batch=16, iters=8):
         db = shard_batch(mesh, batch)
         state, m = step(state, db)          # compile
         jax.block_until_ready(m["loss"])
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            state, m = step(state, db)
-        jax.block_until_ready(m["loss"])
-        dt = (time.perf_counter() - t0) / iters
-        return B / dt
+        best = None                         # min-of-blocks: host-load noise
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                state, m = step(state, db)
+            jax.block_until_ready(m["loss"])
+            dt = (time.perf_counter() - t0) / iters
+            best = dt if best is None else min(best, dt)
+        return B / best
 
     sps_1 = run(1)
     sps_n = run(n_devices)

@@ -90,6 +90,12 @@ def main():
     cfg = load_config(args.pose_cfg, args.opts)
     if args.fused and not args.detector:
         raise SystemExit("--fused needs --detector")
+    if args.low_bw and not args.fused:
+        raise SystemExit("--low-bw needs --fused")
+    if args.low_bw and args.chunk > 1:
+        raise SystemExit("--low-bw and --chunk are mutually exclusive "
+                         "(the chunked path uploads whole frames; pick "
+                         "one serving shape for your link)")
     fused = None
     if args.fused:
         from udp_pose_tpu.engine.fused import FusedDetectPose

@@ -9,12 +9,14 @@ Usage: python tools/profile_train.py v0 v_loss_sum ...   (names below)
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def main(variants, B=128):
@@ -294,5 +296,4 @@ def run_remat(jax, jnp, optax, timeit, prep_norm, build_state, policy):
 
 
 if __name__ == "__main__":
-    import os
     main(sys.argv[1:] or ["v0"], B=int(os.environ.get("PROF_B", "128")))

@@ -109,7 +109,7 @@ class Node(dict):
         """yaml text of the full tree (yacs CfgNode.dump parity);
         tuples become lists so the output round-trips via safe_load."""
         def clean(v):
-            if isinstance(v, Node):
+            if isinstance(v, dict):        # Node or plain dict value
                 return {k: clean(x) for k, x in v.items()}
             if isinstance(v, (tuple, list)):
                 return [clean(x) for x in v]

@@ -161,7 +161,9 @@ def validate(cfg, dataset, model, variables, output_dir="",
         import hashlib
         digest = hashlib.sha1(
             "\n".join(image_paths).encode()).digest()[:8]
-        my_hash = np.frombuffer(digest, np.uint64).copy()
+        # two uint32 words, not one uint64: jax's default x32 mode would
+        # silently truncate a uint64 through process_allgather
+        my_hash = np.frombuffer(digest, np.uint32).copy()
         hashes = np.asarray(gather_fn(my_hash)).reshape(num_shards, -1)
         if not (hashes == hashes[0]).all():
             raise RuntimeError(
