@@ -1,0 +1,89 @@
+"""tools/infer.py driven as a real subprocess (the user-facing serving
+CLI): image source with --fused, the --low-bw mode, and the new flag
+guards.  Tiny pose model on CPU."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CFG_YAML = """
+DATASET:
+  DATASET: coco
+MODEL:
+  NAME: pose_resnet
+  TARGET_TYPE: gaussian
+  IMAGE_SIZE: [96, 128]
+  HEATMAP_SIZE: [24, 32]
+  NUM_JOINTS: 17
+  INIT_WEIGHTS: false
+  EXTRA:
+    NUM_LAYERS: 18
+    NUM_DECONV_LAYERS: 2
+    NUM_DECONV_FILTERS: [64, 64]
+    NUM_DECONV_KERNELS: [4, 4]
+    DECONV_WITH_BIAS: false
+    FINAL_CONV_KERNEL: 1
+TPU:
+  DTYPE: float32
+TEST:
+  FLIP_TEST: false
+"""
+
+
+def _run(args, timeout=540, expect_rc=0):
+    env = dict(os.environ, UDP_POSE_PLATFORM="cpu")
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "infer.py")] + args,
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=timeout)
+    assert p.returncode == expect_rc, (p.returncode, p.stdout[-1500:],
+                                       p.stderr[-1500:])
+    return p.stdout + p.stderr
+
+
+@pytest.fixture(scope="module")
+def cli_env(tmp_path_factory):
+    import cv2
+    tmp = tmp_path_factory.mktemp("infer_cli")
+    cfg = str(tmp / "tiny.yaml")
+    with open(cfg, "w") as f:
+        f.write(CFG_YAML)
+    src = tmp / "imgs"
+    src.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        img = cv2.resize(rng.integers(0, 255, (9, 9, 3)).astype(np.uint8),
+                         (320, 240), interpolation=cv2.INTER_CUBIC)
+        cv2.imwrite(str(src / f"f{i}.jpg"), img)
+    return {"cfg": cfg, "src": str(src), "tmp": tmp}
+
+
+def test_fused_image_dir(cli_env):
+    out_dir = str(cli_env["tmp"] / "out_fused")
+    _run(["--source", cli_env["src"], "--pose-cfg", cli_env["cfg"],
+          "--detector", "yolov5n", "--fused", "--max-persons", "4",
+          "--save-dir", out_dir])
+    assert sorted(os.listdir(out_dir)) == ["f0.jpg", "f1.jpg"]
+
+
+def test_low_bw_image_dir(cli_env):
+    out_dir = str(cli_env["tmp"] / "out_lbw")
+    _run(["--source", cli_env["src"], "--pose-cfg", cli_env["cfg"],
+          "--detector", "yolov5n", "--fused", "--low-bw",
+          "--max-persons", "4", "--save-dir", out_dir])
+    assert sorted(os.listdir(out_dir)) == ["f0.jpg", "f1.jpg"]
+
+
+def test_flag_guards(cli_env):
+    # --low-bw without --fused and with --chunk must error loudly
+    out = _run(["--source", cli_env["src"], "--pose-cfg", cli_env["cfg"],
+                "--low-bw"], expect_rc=1, timeout=120)
+    assert "--low-bw needs --fused" in out
+    out = _run(["--source", cli_env["src"], "--pose-cfg", cli_env["cfg"],
+                "--detector", "yolov5n", "--fused", "--low-bw",
+                "--chunk", "4"], expect_rc=1, timeout=120)
+    assert "mutually exclusive" in out
