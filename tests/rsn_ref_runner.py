@@ -223,9 +223,19 @@ def main():
     model_cfg.LOSS.TOPK = 8
     model_cfg.LOSS.COARSE_TO_FINE = True
 
-    model = randomize(network.RSN(model_cfg), args.seed)
+    model = network.RSN(model_cfg)
+    if os.path.exists(args.weights):
+        # trained-weights mode: the caller supplies a state_dict (e.g.
+        # flax-trained weights through the reverse bridge, which carries
+        # no num_batches_tracked counters — harmless in eval mode)
+        missing, unexpected = model.load_state_dict(
+            torch.load(args.weights), strict=False)
+        assert not unexpected, unexpected[:8]
+        assert all("num_batches_tracked" in k for k in missing), missing[:8]
+    else:
+        model = randomize(model, args.seed)
+        torch.save(model.state_dict(), args.weights)
     model.eval()
-    torch.save(model.state_dict(), args.weights)
 
     class _Log:
         def info(self, *a, **k):

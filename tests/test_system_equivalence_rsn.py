@@ -27,6 +27,52 @@ RUNNER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "rsn_ref_runner.py")
 
 
+def _brief_train_rsn(cfg, root, epochs=80, batch=8, seed=3):
+    """Overfit the flax RSN on the eval images so heatmaps peak decisively
+    (the trained-weights pattern of test_system_equivalence, VERDICT r2
+    Weak #4 — promoted to the RSN composed case).  Aug is disabled and the
+    train crop extension pinned to the TEST extension so the train crops
+    coincide with the gt-side of the eval crops.  Returns variables.
+
+    NOTE the success gate is NOT the loss value — the 255-scale L2
+    plateaus ~1400 on this tiny set while argmaxes become fully decisive
+    (measured: decisive fraction 1.0 after ~100 steps) — it is the
+    ``decisive.mean() > 0.9`` assert on the reference-side dump below."""
+    import jax
+
+    from udp_pose_tpu.core.rsn import (make_rsn_optimizer,
+                                       make_rsn_train_step)
+    from udp_pose_tpu.core.train import TrainState
+    from udp_pose_tpu.data.base import epoch_loader
+    from udp_pose_tpu.data.rsn import RSNCOCODataset
+    from udp_pose_tpu.models import build_model
+    import jax.numpy as jnp
+
+    fmodel = build_model(cfg)
+    ds = RSNCOCODataset(cfg, root, "val2014", is_train=True)
+    ds.attr.update(rand_ext=False,
+                   x_ext=ds.attr["test_x_ext"], y_ext=ds.attr["test_y_ext"],
+                   scale_factor_low=0.0, scale_factor_high=0.0,
+                   scale_shrink_ratio=1.0, prob_rotation=0.0, prob_flip=0.0,
+                   prob_half_body=0.0)
+    w, h = cfg.MODEL.IMAGE_SIZE
+    variables = jax.jit(lambda r: fmodel.init(
+        r, jnp.zeros((1, h, w, 3), jnp.float32), train=False))(
+            jax.random.PRNGKey(seed))
+    tx = make_rsn_optimizer(2e-3, 0.0, max_iters=epochs * 2,
+                            warmup_iters=2)
+    state = TrainState.create(fmodel.apply, variables["params"],
+                              variables.get("batch_stats", {}), tx)
+    step = make_rsn_train_step(cfg.MODEL.EXTRA.STAGE_NUM, ohkm=True, topk=8)
+    for ep in range(epochs):
+        ds.seed(ep)
+        for b in epoch_loader(ds, batch, shuffle=True, seed=ep):
+            state, _ = step(state, {"image": b["image"],
+                                    "labels": b["labels"],
+                                    "valid": b["valid"]})
+    return {"params": state.params, "batch_stats": state.batch_stats}
+
+
 def test_rsn_system_equivalence(tmp_path):
     root = str(tmp_path / "data")
     make_mini_coco_rsn(root, n_images=6, seed=11)
@@ -35,23 +81,14 @@ def test_rsn_system_equivalence(tmp_path):
 
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     dump_file = str(tmp_path / "ref_arrays.npz")
-    proc = subprocess.run(
-        [sys.executable, RUNNER, "--root", root, "--weights", weights,
-         "--results", ref_results_file, "--seed", "0", "--stage-num", "2",
-         "--height", "128", "--width", "96", "--dump", dump_file],
-        env=env, capture_output=True, text=True, timeout=560)
-    assert proc.returncode == 0, proc.stderr[-3000:]
-    with open(ref_results_file) as f:
-        ref_results = json.load(f)
-    assert len(ref_results) > 0
 
-    # -- our side on the converted weights ---------------------------------
     from udp_pose_tpu.config import default_config
     from udp_pose_tpu.core.validate import validate
     from udp_pose_tpu.data.rsn import RSNCOCODataset
     from udp_pose_tpu.models import build_model
     from udp_pose_tpu.utils.torch_convert import (check_against_model,
-                                                  convert_rsn)
+                                                  convert_rsn,
+                                                  flax_to_torch_from_cfg)
 
     cfg = default_config()
     cfg.MODEL.NAME = "rsn"
@@ -70,6 +107,24 @@ def test_rsn_system_equivalence(tmp_path):
                                            "minival_2014_det.json")
     cfg.TEST.BATCH_SIZE_PER_GPU = 4
 
+    # -- train the flax side, push weights to torch via the reverse bridge --
+    trained = _brief_train_rsn(cfg, root)
+    back = flax_to_torch_from_cfg(trained, cfg)
+    torch.save({k: torch.tensor(np.asarray(v)) for k, v in back.items()},
+               weights)
+
+    # -- reference eval pipeline on those weights (subprocess) --------------
+    proc = subprocess.run(
+        [sys.executable, RUNNER, "--root", root, "--weights", weights,
+         "--results", ref_results_file, "--seed", "0", "--stage-num", "2",
+         "--height", "128", "--width", "96", "--dump", dump_file],
+        env=env, capture_output=True, text=True, timeout=560)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    with open(ref_results_file) as f:
+        ref_results = json.load(f)
+    assert len(ref_results) > 0
+
+    # -- our side, round-tripped through the saved .pth (both bridges) ------
     sd = {k: v.numpy() for k, v in torch.load(weights).items()}
     variables, unused = convert_rsn(sd, stage_num=2)
     assert not unused, unused[:8]
@@ -86,14 +141,12 @@ def test_rsn_system_equivalence(tmp_path):
         our_results = json.load(f)
 
     assert len(our_results) == len(ref_results)
-    # Random-init RSN maps carry large same-value plateaus (upsample-module
-    # artifacts): cells mathematically equal to ≲1e-9 relative.  The
-    # reference blurs in float64 and resolves those "ties"; our float32
-    # graph cannot.  So: a joint's peak is *decisive* when the blurred
-    # map's top-2 distinct values differ by more than float32 resolution —
-    # decode must then agree to a couple of source pixels (the remaining
-    # wiggle is second-peak quarter-shift ambiguity); indecisive joints are
-    # exempt.  Confidences must agree everywhere regardless.
+    # Trained maps peak decisively almost everywhere; the "decisive"
+    # machinery below (a joint is decisive when the blurred map's top-2
+    # distinct values differ by more than float32 resolution — the
+    # reference blurs in float64 and can resolve ties our float32 graph
+    # cannot) is kept only to exempt the rare residual tie.  Decisive
+    # joints must agree to sub-pixel; confidences everywhere.
     dump = np.load(dump_file)
     from udp_pose_tpu.ops.blur import gaussian_blur
     import jax.numpy as jnp
@@ -126,7 +179,7 @@ def test_rsn_system_equivalence(tmp_path):
         np.abs(np.asarray(ro["keypoints"]).reshape(-1, 3)[:, :2] -
                np.asarray(rr["keypoints"]).reshape(-1, 3)[:, :2]).max(axis=1)
         for rr, ro in zip(ref_results, our_results)])
-    assert decisive.mean() > 0.15, decisive.mean()
+    assert decisive.mean() > 0.9, decisive.mean()
     assert err_db[decisive].max() < 3.0, err_db[decisive].max()
     assert np.median(err_db[decisive]) < 0.05
     # heatmap equality (checked indirectly above) is the strong claim: the
