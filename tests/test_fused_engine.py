@@ -166,6 +166,27 @@ def test_infer_frames_matches_single():
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_pipelined_submit_fetch_matches_sequential():
+    """Async pipelining (submit_frame/fetch, tools/infer.py --pipeline):
+    three frames in flight simultaneously, fetched in order, must equal
+    the strictly sequential per-frame results bit-for-bit."""
+    from udp_pose_tpu.engine.fused import FusedDetectPose
+    cfg = _pose_cfg()
+    eng = FusedDetectPose(cfg, None, yolo_variant="n", max_persons=8,
+                          det_size=128, topk=32, conf_thres=0.25)
+    rows = [(28, 46, 40, 68, 0.95, 0.95), (90, 40, 30, 60, 0.80, 0.90)]
+    eng.yolo = _StubYolo(_mk_pred(rows))
+    rng = np.random.default_rng(17)
+    frames = rng.integers(0, 255, (3, 240, 320, 3)).astype(np.uint8)
+
+    handles = [eng.submit_frame(f) for f in frames]   # all in flight
+    piped = [eng.fetch(h) for h in handles]
+    for f in range(3):
+        seq = eng.infer_frame(frames[f])
+        for k in ("keypoints", "maxvals", "boxes", "scores"):
+            np.testing.assert_array_equal(piped[f][k], seq[k])
+
+
 def test_infer_frames_mesh_sharded():
     """Video chunks shard frames over the mesh 'data' axis; results equal
     the unsharded batched mode (incl. tail padding to divisibility)."""

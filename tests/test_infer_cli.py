@@ -78,6 +78,39 @@ def test_low_bw_image_dir(cli_env):
     assert sorted(os.listdir(out_dir)) == ["f0.jpg", "f1.jpg"]
 
 
+@pytest.fixture(scope="module")
+def tiny_video(cli_env):
+    import cv2
+    path = str(cli_env["tmp"] / "clip.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 5.0,
+                        (320, 240))
+    assert w.isOpened(), "cv2 mp4v writer unavailable"
+    rng = np.random.default_rng(1)
+    for _ in range(5):
+        img = cv2.resize(rng.integers(0, 255, (9, 9, 3)).astype(np.uint8),
+                         (320, 240), interpolation=cv2.INTER_CUBIC)
+        w.write(img)
+    w.release()
+    return path
+
+
+def test_pipelined_video(cli_env, tiny_video):
+    """--pipeline 3 on a real video file: the async submit/fetch loop
+    drains correctly (incl. the in-flight tail) and writes every frame."""
+    import cv2
+    out_dir = str(cli_env["tmp"] / "out_pipe")
+    _run(["--source", tiny_video, "--pose-cfg", cli_env["cfg"],
+          "--detector", "yolov5n", "--fused", "--pipeline", "3",
+          "--max-persons", "4", "--save-dir", out_dir])
+    out = os.path.join(out_dir, "out_clip.mp4")
+    cap = cv2.VideoCapture(out)
+    assert cap.isOpened()
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    assert n == 5, n
+
+
 def test_flag_guards(cli_env):
     # --low-bw without --fused and with --chunk must error loudly
     out = _run(["--source", cli_env["src"], "--pose-cfg", cli_env["cfg"],
@@ -87,3 +120,10 @@ def test_flag_guards(cli_env):
                 "--detector", "yolov5n", "--fused", "--low-bw",
                 "--chunk", "4"], expect_rc=1, timeout=120)
     assert "mutually exclusive" in out
+    out = _run(["--source", cli_env["src"], "--pose-cfg", cli_env["cfg"],
+                "--pipeline", "2"], expect_rc=1, timeout=120)
+    assert "--pipeline needs --fused" in out
+    out = _run(["--source", cli_env["src"], "--pose-cfg", cli_env["cfg"],
+                "--detector", "yolov5n", "--fused", "--low-bw",
+                "--pipeline", "2"], expect_rc=1, timeout=120)
+    assert "composes with neither" in out

@@ -49,6 +49,11 @@ def parse_args():
                    help="with --fused on video files: frames per dispatch "
                         "(batched offline-video mode; amortises host "
                         "round-trips over the chunk)")
+    p.add_argument("--pipeline", type=int, default=1,
+                   help="with --fused on video/webcam: frames kept in "
+                        "flight (async dispatch depth) — host decode and "
+                        "upload staging of frame i+1 overlap device "
+                        "compute/readback of frame i")
     p.add_argument("--save-pose-txt", action="store_true",
                    help="directory mode: write reference-format pose label "
                         "files (x/img_w y/img_h conf per joint, first "
@@ -96,6 +101,13 @@ def main():
         raise SystemExit("--low-bw and --chunk are mutually exclusive "
                          "(the chunked path uploads whole frames; pick "
                          "one serving shape for your link)")
+    if args.pipeline > 1 and not args.fused:
+        raise SystemExit("--pipeline needs --fused")
+    if args.pipeline > 1 and (args.low_bw or args.chunk > 1):
+        raise SystemExit("--pipeline is the single-dispatch async mode; "
+                         "it composes with neither --low-bw (host "
+                         "round-trip mid-frame) nor --chunk (already "
+                         "batched)")
     fused = None
     if args.fused:
         from udp_pose_tpu.engine.fused import FusedDetectPose
@@ -175,15 +187,48 @@ def main():
             write_pose_txt(path, kps, maxvals, frame.shape[:2])
         return overlay_fps(pose.draw_keypoints(frame, kps))
 
+    def pipelined(frames_bgr, emit):
+        """Software-pipelined fused serving: keep ``args.pipeline`` frames
+        in flight so host decode/upload staging of frame i+1 overlaps the
+        device compute + readback of frame i (submit_frame/fetch,
+        engine/fused.py).  ``emit(annotated_bgr) -> bool`` (False stops —
+        webcam 'q')."""
+        from collections import deque
+        inflight = deque()
+        fps.start()
+
+        def drain_one():
+            bgr, handle = inflight.popleft()
+            out = fused.fetch(handle)
+            fps.stop(sync_value=out["keypoints"], debug=args.show_fps)
+            fps.start()
+            return emit(overlay_fps(
+                pose.draw_keypoints(bgr, out["keypoints"])))
+
+        for frame in frames_bgr:
+            rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            inflight.append((frame, fused.submit_frame(rgb)))
+            if len(inflight) >= args.pipeline and drain_one() is False:
+                return
+        while inflight:
+            if drain_one() is False:
+                return
+
     src = args.source
     if src.startswith("webcam"):
         from udp_pose_tpu.engine.io import WebcamStream
         cam_id = int(src.split(":")[1]) if ":" in src else 0
-        for frame in WebcamStream(cam_id):
-            out = process(frame)
-            cv2.imshow("pose", out)
-            if cv2.waitKey(1) == ord("q"):
-                break
+        if fused is not None and args.pipeline > 1:
+            def show(out):
+                cv2.imshow("pose", out)
+                return cv2.waitKey(1) != ord("q")
+            pipelined(WebcamStream(cam_id), show)
+        else:
+            for frame in WebcamStream(cam_id):
+                out = process(frame)
+                cv2.imshow("pose", out)
+                if cv2.waitKey(1) == ord("q"):
+                    break
     elif os.path.isdir(src):
         for path in sorted(glob.glob(os.path.join(src, "*"))):
             frame = cv2.imread(path)
@@ -210,6 +255,12 @@ def main():
                 pad = [pending[-1]] * (args.chunk - len(pending))
                 _flush_chunk(pending + pad, fused, pose, writer, args, fps,
                              keep=len(pending))
+        elif fused is not None and args.pipeline > 1:
+            def emit(out):
+                if not args.no_save:
+                    writer.update(out)
+                return True
+            pipelined(reader, emit)
         else:
             for frame in reader:
                 out = process(frame)

@@ -353,23 +353,37 @@ class FusedDetectPose:
 
     # -------------------------------------------------------------- API
 
-    def infer_frame(self, frame):
-        """frame (H, W, 3) RGB uint8 → dict with keypoints (n, J, 2),
-        maxvals (n, J, 1), boxes (n, 4), scores (n,) — n = detected
-        persons (≤ max_persons).  One dispatch, one readback."""
-        import jax
+    def submit_frame(self, frame):
+        """Dispatch the fused graph for one frame WITHOUT blocking on the
+        result (JAX async dispatch): returns an opaque handle for
+        ``fetch``.  The software-pipelined serving loop
+        (tools/infer.py --pipeline) keeps N frames in flight so the host
+        work of frame i+1 (video decode, BGR→RGB, upload staging)
+        overlaps the device compute + readback of frame i — the overlap
+        the reference's strictly sequential loop
+        (inference_engine.py:360-384) cannot express."""
         H, W = frame.shape[:2]
         run = self._runs.get((H, W))
         if run is None:
             run = self._runs[(H, W)] = self._build(H, W)
-        preds, maxvals, boxes, scores, valid = jax.device_get(
-            run(self._pose.variables, self.yolo_vars, frame))
+        return run(self._pose.variables, self.yolo_vars, frame)
+
+    def fetch(self, handle):
+        """Block on a ``submit_frame`` handle → the infer_frame dict."""
+        import jax
+        preds, maxvals, boxes, scores, valid = jax.device_get(handle)
         # greedy NMS fills keep slots in order, so valid rows are a prefix
         n = int(valid.astype(np.int32).sum())
         assert valid[:n].all(), \
             "FusedDetectPose: valid rows are not a prefix (NMS fill order)"
         return {"keypoints": preds[:n], "maxvals": maxvals[:n],
                 "boxes": boxes[:n], "scores": scores[:n]}
+
+    def infer_frame(self, frame):
+        """frame (H, W, 3) RGB uint8 → dict with keypoints (n, J, 2),
+        maxvals (n, J, 1), boxes (n, 4), scores (n,) — n = detected
+        persons (≤ max_persons).  One dispatch, one readback."""
+        return self.fetch(self.submit_frame(frame))
 
     def infer_frames(self, frames):
         """Batched video mode: frames (F, H, W, 3) RGB uint8 → list of F
