@@ -256,6 +256,44 @@ def test_low_bw_mode_matches_fused():
         (out_lb["bytes_uploaded"], frame.nbytes)
 
 
+def test_low_bw_stream_matches_sequential():
+    """infer_stream_low_bw (2-stage pipelined --low-bw): results arrive
+    in input order and equal the sequential infer_frame_low_bw
+    bit-for-bit (same stages, just overlapped)."""
+    from udp_pose_tpu.engine.fused import FusedDetectPose
+    cfg = _pose_cfg()
+    eng = FusedDetectPose(cfg, None, yolo_variant="n", max_persons=8,
+                          det_size=128, topk=32, conf_thres=0.25)
+    rows = [(28, 46, 40, 68, 0.95, 0.95), (90, 40, 30, 60, 0.80, 0.90)]
+    eng.yolo = _StubYolo(_mk_pred(rows))
+    rng = np.random.default_rng(23)
+    frames = rng.integers(0, 255, (4, 240, 320, 3)).astype(np.uint8)
+
+    piped = list(eng.infer_stream_low_bw(iter(frames)))
+    assert len(piped) == 4
+    for f in range(4):
+        seq = eng.infer_frame_low_bw(frames[f])
+        for k in ("keypoints", "maxvals", "boxes", "scores"):
+            np.testing.assert_array_equal(piped[f][k], seq[k])
+        assert piped[f]["bytes_uploaded"] == seq["bytes_uploaded"]
+
+
+def test_low_bw_stream_empty_frames():
+    """The stream's already-finished (empty-frame) entries flow through
+    the 2-stage queues without a pose dispatch."""
+    from udp_pose_tpu.engine.fused import FusedDetectPose
+    cfg = _pose_cfg()
+    eng = FusedDetectPose(cfg, None, yolo_variant="n", max_persons=4,
+                          det_size=128, topk=16)
+    eng.yolo = _StubYolo(_mk_pred([]))
+    frames = np.zeros((3, 160, 160, 3), np.uint8)
+    outs = list(eng.infer_stream_low_bw(iter(frames)))
+    assert len(outs) == 3
+    for out in outs:
+        assert out["keypoints"].shape == (0, 17, 2)
+        assert out["bytes_uploaded"] < frames[0].nbytes
+
+
 def test_low_bw_empty_frame():
     from udp_pose_tpu.engine.fused import FusedDetectPose
     cfg = _pose_cfg()

@@ -111,6 +111,23 @@ def test_pipelined_video(cli_env, tiny_video):
     assert n == 5, n
 
 
+def test_pipelined_low_bw_video(cli_env, tiny_video):
+    """--low-bw --pipeline: the 2-stage pipelined stream (detection of
+    frame i+1 behind pose of frame i) writes every frame."""
+    import cv2
+    out_dir = str(cli_env["tmp"] / "out_pipe_lbw")
+    _run(["--source", tiny_video, "--pose-cfg", cli_env["cfg"],
+          "--detector", "yolov5n", "--fused", "--low-bw",
+          "--pipeline", "2", "--max-persons", "4", "--save-dir", out_dir])
+    out = os.path.join(out_dir, "out_clip.mp4")
+    cap = cv2.VideoCapture(out)
+    assert cap.isOpened()
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    assert n == 5, n
+
+
 def test_flag_guards(cli_env):
     # --low-bw without --fused and with --chunk must error loudly
     out = _run(["--source", cli_env["src"], "--pose-cfg", cli_env["cfg"],
@@ -124,6 +141,6 @@ def test_flag_guards(cli_env):
                 "--pipeline", "2"], expect_rc=1, timeout=120)
     assert "--pipeline needs --fused" in out
     out = _run(["--source", cli_env["src"], "--pose-cfg", cli_env["cfg"],
-                "--detector", "yolov5n", "--fused", "--low-bw",
-                "--pipeline", "2"], expect_rc=1, timeout=120)
-    assert "composes with neither" in out
+                "--detector", "yolov5n", "--fused", "--pipeline", "2",
+                "--chunk", "4"], expect_rc=1, timeout=120)
+    assert "--pipeline and --chunk are mutually exclusive" in out

@@ -103,11 +103,9 @@ def main():
                          "one serving shape for your link)")
     if args.pipeline > 1 and not args.fused:
         raise SystemExit("--pipeline needs --fused")
-    if args.pipeline > 1 and (args.low_bw or args.chunk > 1):
-        raise SystemExit("--pipeline is the single-dispatch async mode; "
-                         "it composes with neither --low-bw (host "
-                         "round-trip mid-frame) nor --chunk (already "
-                         "batched)")
+    if args.pipeline > 1 and args.chunk > 1:
+        raise SystemExit("--pipeline and --chunk are mutually exclusive "
+                         "(the chunked path is already batched)")
     fused = None
     if args.fused:
         from udp_pose_tpu.engine.fused import FusedDetectPose
@@ -191,9 +189,28 @@ def main():
         """Software-pipelined fused serving: keep ``args.pipeline`` frames
         in flight so host decode/upload staging of frame i+1 overlaps the
         device compute + readback of frame i (submit_frame/fetch,
-        engine/fused.py).  ``emit(annotated_bgr) -> bool`` (False stops —
-        webcam 'q')."""
+        engine/fused.py; with --low-bw, the 2-stage
+        ``infer_stream_low_bw`` — detection of i+1 hides behind pose of
+        i).  ``emit(annotated_bgr) -> bool`` (False stops — webcam 'q')."""
         from collections import deque
+
+        if args.low_bw:
+            buf = deque()          # BGR originals of in-flight frames
+
+            def rgb_frames():
+                for frame in frames_bgr:
+                    buf.append(frame)
+                    yield cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+
+            fps.start()
+            for out in fused.infer_stream_low_bw(rgb_frames()):
+                fps.stop(sync_value=out["keypoints"], debug=args.show_fps)
+                fps.start()
+                if emit(overlay_fps(pose.draw_keypoints(
+                        buf.popleft(), out["keypoints"]))) is False:
+                    return
+            return
+
         inflight = deque()
         fps.start()
 
