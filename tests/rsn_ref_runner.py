@@ -228,6 +228,8 @@ def main():
         # trained-weights mode: the caller supplies a state_dict (e.g.
         # flax-trained weights through the reverse bridge, which carries
         # no num_batches_tracked counters — harmless in eval mode)
+        print(f"runner: loading supplied weights {args.weights} "
+              f"(--seed ignored)", file=sys.stderr)
         missing, unexpected = model.load_state_dict(
             torch.load(args.weights), strict=False)
         assert not unexpected, unexpected[:8]

@@ -144,3 +144,9 @@ def test_flag_guards(cli_env):
                 "--detector", "yolov5n", "--fused", "--pipeline", "2",
                 "--chunk", "4"], expect_rc=1, timeout=120)
     assert "--pipeline and --chunk are mutually exclusive" in out
+    # --pipeline on a directory source must refuse (it would silently run
+    # the sequential loop otherwise)
+    out = _run(["--source", cli_env["src"], "--pose-cfg", cli_env["cfg"],
+                "--detector", "yolov5n", "--fused", "--pipeline", "2"],
+               expect_rc=1, timeout=300)
+    assert "applies to video/webcam sources" in out

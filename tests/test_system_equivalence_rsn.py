@@ -50,7 +50,7 @@ def _brief_train_rsn(cfg, root, epochs=80, batch=8, seed=3):
 
     fmodel = build_model(cfg)
     ds = RSNCOCODataset(cfg, root, "val2014", is_train=True)
-    ds.attr.update(rand_ext=False,
+    ds.attr.update(rand_ext=False, basic_ext=0.0,
                    x_ext=ds.attr["test_x_ext"], y_ext=ds.attr["test_y_ext"],
                    scale_factor_low=0.0, scale_factor_high=0.0,
                    scale_shrink_ratio=1.0, prob_rotation=0.0, prob_flip=0.0,

@@ -106,6 +106,10 @@ def main():
     if args.pipeline > 1 and args.chunk > 1:
         raise SystemExit("--pipeline and --chunk are mutually exclusive "
                          "(the chunked path is already batched)")
+    if args.pipeline > 1 and args.low_bw and args.pipeline != 2:
+        print("note: --low-bw pipelining is the fixed 2-stage stream "
+              "(detection of frame i+1 behind pose of frame i); "
+              f"--pipeline {args.pipeline} runs at depth 2", file=sys.stderr)
     fused = None
     if args.fused:
         from udp_pose_tpu.engine.fused import FusedDetectPose
@@ -215,6 +219,10 @@ def main():
         fps.start()
 
         def drain_one():
+            # pipelined --show-fps is fetch-to-fetch THROUGHPUT: the
+            # interval includes draw/write/decode of the previous frame
+            # (they overlap device work — that's the point), unlike the
+            # sequential process() timer which brackets inference only
             bgr, handle = inflight.popleft()
             out = fused.fetch(handle)
             fps.stop(sync_value=out["keypoints"], debug=args.show_fps)
@@ -247,6 +255,10 @@ def main():
                 if cv2.waitKey(1) == ord("q"):
                     break
     elif os.path.isdir(src):
+        if args.pipeline > 1:
+            raise SystemExit("--pipeline applies to video/webcam sources "
+                             "(directory and single-image modes run "
+                             "frame-at-a-time)")
         for path in sorted(glob.glob(os.path.join(src, "*"))):
             frame = cv2.imread(path)
             if frame is None:
@@ -285,6 +297,10 @@ def main():
                     writer.update(out)
         writer.write()
     else:
+        if args.pipeline > 1:
+            raise SystemExit("--pipeline applies to video/webcam sources "
+                             "(directory and single-image modes run "
+                             "frame-at-a-time)")
         frame = cv2.imread(src)
         if frame is None:
             raise SystemExit(f"cannot read {src}")
