@@ -121,17 +121,23 @@ def main():
     # ---- secondary model zoo points (BASELINE.md matrix) ----------------
     # batch picks are the measured knees: RSN18 6503@128 > 5905@256 >
     # 5296@512; shufflenet 8729@256 > 7449@512
-    for label, builder, batch in (
-            ("crops_per_sec_rsn18_256x192", _rsn18_cfg, 128),
+    for label, builder, batch, flip in (
+            ("crops_per_sec_rsn18_256x192", _rsn18_cfg, 128, True),
             ("crops_per_sec_shufflenetv2_plus_256x192",
-             _shufflenet_cfg, 256),
-            ("crops_per_sec_w48_384x288", _w48_cfg, 48),
+             _shufflenet_cfg, 256, True),
+            ("crops_per_sec_w48_384x288", _w48_cfg, 48, True),
             # B=48 is the measured knee: 495.6 (B=32) → 565.9 (B=48)
             # → 517.5 (B=64) crops/s
+            # no-flip = the serving protocol (deployments rarely pay the
+            # eval-protocol flip fold); measured knee B=128: 5464.5 >
+            # 5321 (B=256) > 4939 (B=512) — exactly 2.0x the flip
+            # headline, pinning DESIGN.md's protocol-headroom claim
+            ("crops_per_sec_w32_256x192_noflip", _headline_cfg, 128,
+             False),
     ):
         try:
             result[label] = round(
-                bench_family(jax, jnp, builder(), batch), 1)
+                bench_family(jax, jnp, builder(), batch, flip=flip), 1)
         except Exception as e:
             log(f"{label} failed: {e!r}")
 
@@ -173,6 +179,11 @@ def _w48_cfg():
     return _zoo_cfg("hrnet_w48_384x288_udp_offset.yaml")
 
 
+def _headline_cfg():
+    """The headline flagship config (HRNet-w32 256×192 + UDP offset)."""
+    return _zoo_cfg("hrnet_w32_256x192_udp_offset.yaml")
+
+
 def _rsn18_cfg():
     """Efficiency champion: RSN18 256×192, 2.5 GFLOPs (README.md:40)."""
     return _zoo_cfg("rsn18_256x192.yaml")
@@ -183,9 +194,11 @@ def _shufflenet_cfg():
     return _zoo_cfg("shufflenetv2_plus_small_256x192.yaml")
 
 
-def bench_family(jax, jnp, cfg, batch, iters=(6, 18)):
+def bench_family(jax, jnp, cfg, batch, iters=(6, 18), flip=True):
     """Full inference pipeline (flip test + decode) crops/s for one
-    config, same differencing method as the headline."""
+    config, same differencing method as the headline.  ``flip=False``
+    is the serving protocol (no flip-test fold) — the raw-throughput
+    shape most deployments run."""
     from udp_pose_tpu.core.infer import make_infer_fn
     from udp_pose_tpu.models import build_model
 
@@ -199,13 +212,13 @@ def bench_family(jax, jnp, cfg, batch, iters=(6, 18)):
         from udp_pose_tpu.core.rsn import make_rsn_infer_fn
         from udp_pose_tpu.data.rsn import RSN_COCO
         infer = make_rsn_infer_fn(
-            model, flip_test=True, flip_pairs=COCO_FLIP_PAIRS,
+            model, flip_test=flip, flip_pairs=COCO_FLIP_PAIRS,
             kernel=RSN_COCO["test_gaussian_kernel"],
             shifts=tuple(RSN_COCO["test_shift_ratios"]),
             input_size_hw=(h, w))
     else:
         infer = make_infer_fn(model, target_type=cfg.MODEL.TARGET_TYPE,
-                              flip_test=True, post_process=True,
+                              flip_test=flip, post_process=True,
                               kpd=cfg.LOSS.KPD)
     rng_np = np.random.default_rng(3)
     images = jax.device_put(rng_np.integers(

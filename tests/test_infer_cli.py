@@ -128,6 +128,44 @@ def test_pipelined_low_bw_video(cli_env, tiny_video):
     assert n == 5, n
 
 
+def test_stream_url_source(cli_env, tiny_video):
+    """Network-stream serving: an http:// video URL rides the same
+    cv2-backed reader and the pipelined fused path."""
+    import http.server
+    import socketserver
+    import threading
+
+    import cv2
+    serve_dir = os.path.dirname(tiny_video)
+
+    class H(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **k):
+            super().__init__(*a, directory=serve_dir, **k)
+
+        def log_message(self, *a):
+            pass
+
+    with socketserver.TCPServer(("127.0.0.1", 0), H) as srv:
+        port = srv.server_address[1]
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            out_dir = str(cli_env["tmp"] / "out_stream")
+            url = f"http://127.0.0.1:{port}/{os.path.basename(tiny_video)}"
+            _run(["--source", url, "--pose-cfg", cli_env["cfg"],
+                  "--detector", "yolov5n", "--fused", "--pipeline", "2",
+                  "--max-persons", "4", "--save-dir", out_dir])
+        finally:
+            srv.shutdown()
+    out = os.path.join(out_dir, "out_" + os.path.basename(tiny_video))
+    cap = cv2.VideoCapture(out)
+    assert cap.isOpened()
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    assert n == 5, n
+
+
 def test_flag_guards(cli_env):
     # --low-bw without --fused and with --chunk must error loudly
     out = _run(["--source", cli_env["src"], "--pose-cfg", cli_env["cfg"],

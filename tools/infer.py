@@ -267,10 +267,16 @@ def main():
             if not args.no_save:
                 cv2.imwrite(os.path.join(args.save_dir,
                                          os.path.basename(path)), out)
-    elif os.path.splitext(src)[1].lower() in (".mp4", ".avi", ".mov", ".mkv"):
+    elif os.path.splitext(src)[1].lower() in (".mp4", ".avi", ".mov",
+                                              ".mkv") or \
+            src.startswith(("rtsp://", "rtmp://", "http://", "https://")):
+        # network streams (rtsp/rtmp/http) ride the same cv2-backed
+        # reader; all video serving modes (--fused/--pipeline/--low-bw/
+        # --chunk) apply unchanged
         reader = VideoReader(src)
-        writer = VideoWriter(os.path.join(
-            args.save_dir, "out_" + os.path.basename(src)), reader.fps)
+        name = os.path.basename(src).split("?")[0] or "stream.mp4"
+        writer = VideoWriter(os.path.join(args.save_dir, "out_" + name),
+                             reader.fps or 30.0)
         if fused is not None and args.chunk > 1:
             # batched offline-video mode: pad the tail chunk so one jit
             # cache entry serves the whole file
