@@ -141,6 +141,17 @@ def main():
         except Exception as e:
             log(f"{label} failed: {e!r}")
 
+    # ---- int8 PTQ serving mode (models/quantize.py): w8a8 convs on the
+    # MXU int8 path — measured +17% no-flip / +9% flip over bf16 on v5e
+    # (DESIGN.md round-3 int8 study) ----
+    for label, flip in (("crops_per_sec_w32_256x192_noflip_int8", False),
+                        ("crops_per_sec_w32_256x192_fliptest_int8", True)):
+        try:
+            result[label] = round(bench_family(
+                jax, jnp, _headline_cfg(), 128, flip=flip, quantize=True), 1)
+        except Exception as e:
+            log(f"{label} failed: {e!r}")
+
     # ---- virtual-mesh sharding-overhead child (CPU-only; runs LAST and
     # serially — it saturates host cores, which would skew the host-CPU-
     # heavy low-bw engine bench and its own sps_1-vs-sps_n symmetry) ----
@@ -194,11 +205,13 @@ def _shufflenet_cfg():
     return _zoo_cfg("shufflenetv2_plus_small_256x192.yaml")
 
 
-def bench_family(jax, jnp, cfg, batch, iters=(6, 18), flip=True):
+def bench_family(jax, jnp, cfg, batch, iters=(6, 18), flip=True,
+                 quantize=False):
     """Full inference pipeline (flip test + decode) crops/s for one
     config, same differencing method as the headline.  ``flip=False``
     is the serving protocol (no flip-test fold) — the raw-throughput
-    shape most deployments run."""
+    shape most deployments run.  ``quantize`` amax-calibrates on one
+    batch and serves w8a8 int8 (models/quantize.py)."""
     from udp_pose_tpu.core.infer import make_infer_fn
     from udp_pose_tpu.models import build_model
 
@@ -207,6 +220,13 @@ def bench_family(jax, jnp, cfg, batch, iters=(6, 18), flip=True):
     variables = jax.jit(
         lambda r: model.init(r, jnp.zeros((1, h, w, 3)), train=False)
     )(jax.random.PRNGKey(0))
+    if quantize:
+        from udp_pose_tpu.core.train import normalize_images
+        from udp_pose_tpu.models.quantize import QuantizedModel, calibrate
+        cal = np.random.default_rng(4).integers(
+            0, 256, (32, h, w, 3)).astype(np.uint8)
+        scales = calibrate(model, variables, [normalize_images(cal)])
+        model = QuantizedModel(model, scales)
     if cfg.MODEL.NAME == "rsn":
         from udp_pose_tpu.core.infer import COCO_FLIP_PAIRS
         from udp_pose_tpu.core.rsn import make_rsn_infer_fn

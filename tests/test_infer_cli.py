@@ -166,6 +166,29 @@ def test_stream_url_source(cli_env, tiny_video):
     assert n == 5, n
 
 
+def test_quantize_int8_calibrate_then_reuse(cli_env):
+    """--quantize int8 --act-scales: run 1 self-calibrates (bf16-served)
+    and writes the table; run 2 loads it and serves int8 directly.  Uses
+    --bbox-dir so no detector is needed."""
+    tmp = cli_env["tmp"]
+    bbox_dir = str(tmp / "bboxes")
+    os.makedirs(bbox_dir, exist_ok=True)
+    for i in range(2):
+        with open(os.path.join(bbox_dir, f"f{i}.txt"), "w") as f:
+            f.write("0 0.5 0.5 0.5 0.8\n")
+    calib = str(tmp / "calib.json")
+    out_dir = str(tmp / "out_q")
+    args = ["--source", cli_env["src"], "--pose-cfg", cli_env["cfg"],
+            "--bbox-dir", bbox_dir, "--quantize", "int8",
+            "--act-scales", calib, "--save-dir", out_dir]
+    out = _run(args + ["TPU.QUANTIZE_CALIB_BATCHES", "1"])
+    assert "saved int8 calibration table" in out
+    assert os.path.exists(calib)
+    out2 = _run(args)                      # table exists → loaded, no save
+    assert "saved int8 calibration table" not in out2
+    assert sorted(os.listdir(out_dir)) == ["f0.jpg", "f1.jpg"]
+
+
 def test_flag_guards(cli_env):
     # --low-bw without --fused and with --chunk must error loudly
     out = _run(["--source", cli_env["src"], "--pose-cfg", cli_env["cfg"],
@@ -178,6 +201,10 @@ def test_flag_guards(cli_env):
     out = _run(["--source", cli_env["src"], "--pose-cfg", cli_env["cfg"],
                 "--pipeline", "2"], expect_rc=1, timeout=120)
     assert "--pipeline needs --fused" in out
+    out = _run(["--source", cli_env["src"], "--pose-cfg", cli_env["cfg"],
+                "--detector", "yolov5n", "--fused", "--quantize", "int8"],
+               expect_rc=1, timeout=120)
+    assert "--quantize applies to the two-stage" in out
     out = _run(["--source", cli_env["src"], "--pose-cfg", cli_env["cfg"],
                 "--detector", "yolov5n", "--fused", "--pipeline", "2",
                 "--chunk", "4"], expect_rc=1, timeout=120)

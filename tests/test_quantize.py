@@ -1,0 +1,282 @@
+"""int8 PTQ serving mode (models/quantize.py).
+
+The reference only reaches int8 through MNN/OpenVINO export
+(deep_hrnet/scripts/export_mnn.sh); here it is a native serving mode:
+amax-calibrated w8a8 convs via a flax interceptor.  These tests pin
+(a) numerical closeness to the fp pipeline on a *trained* model — the
+regime where PTQ must hold, (b) the exact-fallback contract (un-quantized
+sites run the original module code bitwise), (c) calibration persistence,
+and (d) the self-calibrating UdpPosePipeline and TPU.QUANTIZE CLI surface.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from udp_pose_tpu.config import default_config
+from udp_pose_tpu.core.infer import make_infer_fn
+from udp_pose_tpu.core.loss import make_loss_fn
+from udp_pose_tpu.core.train import (create_train_state, make_train_step,
+                                     normalize_images)
+from udp_pose_tpu.models import build_model
+from udp_pose_tpu.models.quantize import (QuantizedModel, calibrate,
+                                          load_act_scales, save_act_scales)
+from udp_pose_tpu.ops.targets import batch_gaussian_targets
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _tiny_cfg():
+    cfg = default_config()
+    cfg.MODEL.NAME = "pose_resnet"
+    cfg.MODEL.TARGET_TYPE = "gaussian"
+    cfg.MODEL.IMAGE_SIZE = [64, 64]
+    cfg.MODEL.HEATMAP_SIZE = [16, 16]
+    cfg.MODEL.EXTRA.merge_from_dict({
+        "NUM_LAYERS": 18, "NUM_DECONV_LAYERS": 3,
+        "NUM_DECONV_FILTERS": [64, 64, 64],
+        "NUM_DECONV_KERNELS": [4, 4, 4],
+        "DECONV_WITH_BIAS": False, "FINAL_CONV_KERNEL": 1})
+    cfg.TPU.DTYPE = "float32"
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def trained():
+    """Tiny pose_resnet overfit on 8 fixed images until heatmaps peak
+    decisively (the regime where int8-vs-fp agreement is meaningful)."""
+    cfg = _tiny_cfg()
+    cfg.TRAIN.LR = 3e-3
+    model = build_model(cfg)
+    rng = np.random.default_rng(7)
+    B, J = 2, 17
+    images = rng.integers(0, 256, (B, 64, 64, 3)).astype(np.uint8)
+    joints = rng.uniform(8, 56, (B, J, 2)).astype(np.float32)
+    vis = np.ones((B, J), np.float32)
+    target, weight = batch_gaussian_targets(
+        jnp.asarray(joints), jnp.asarray(vis), (16, 16), (64, 64), 2.0)
+    batch = {"image": np.asarray(normalize_images(images)),
+             "target": np.asarray(target), "target_weight": np.asarray(weight)}
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0),
+                               steps_per_epoch=10)
+    step = make_train_step(make_loss_fn(cfg))
+    for _ in range(160):
+        state, metrics = step(state, batch)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    # the gate that matters for PTQ comparison: heatmap peaks must be
+    # decisive (land at the trained joints), not a particular loss value
+    infer = make_infer_fn(model, target_type="gaussian", flip_test=False)
+    center = np.tile(np.array([[32.0, 32.0]], np.float32), (B, 1))
+    scale = np.tile(np.array([[0.32, 0.32]], np.float32), (B, 1))
+    p, _, _ = infer(variables, images, center, scale)
+    dist = np.linalg.norm(np.asarray(p) - joints, axis=-1)
+    assert np.median(dist) < 3.0, f"overfit not decisive: {np.median(dist)}"
+    return cfg, model, variables, images, joints
+
+
+def test_quantized_close_to_fp_on_trained_model(trained):
+    cfg, model, variables, images, joints = trained
+    B = images.shape[0]
+    center = np.tile(np.array([[32.0, 32.0]], np.float32), (B, 1))
+    scale = np.tile(np.array([[0.32, 0.32]], np.float32), (B, 1))
+
+    scales = calibrate(model, variables,
+                       [jnp.asarray(normalize_images(images))])
+    assert len(scales) > 10          # every plain conv except skips
+    assert "final_layer" not in scales
+
+    infer_fp = make_infer_fn(model, target_type="gaussian", flip_test=True)
+    infer_q = make_infer_fn(QuantizedModel(model, scales),
+                            target_type="gaussian", flip_test=True)
+    p_fp, mv_fp, _ = infer_fp(variables, images, center, scale)
+    p_q, mv_q, _ = infer_q(variables, images, center, scale)
+    d = np.abs(np.asarray(p_fp) - np.asarray(p_q))
+    # source-space px: 64-px crop spans scale*200=64 source px here
+    assert np.median(d) < 0.5, f"median quantization drift {np.median(d)}"
+    assert (d < 2.0).mean() > 0.95, f"p95 drift {np.percentile(d, 95)}"
+    # confidence drift bounded
+    assert np.abs(np.asarray(mv_fp) - np.asarray(mv_q)).max() < 0.1
+
+
+def test_unquantized_sites_bitwise_fallback(trained):
+    """min_in_channels above every width / skip-all ⇒ the interceptor
+    must reproduce the original module output exactly."""
+    cfg, model, variables, images, _ = trained
+    x = jnp.asarray(normalize_images(images[:2]))
+    scales = calibrate(model, variables, [x])
+    y_fp = model.apply(variables, x, train=False)
+    for qm in (QuantizedModel(model, scales, min_in_channels=1 << 20),
+               QuantizedModel(model, scales, skip=("*",))):
+        y_q = qm.apply(variables, x, train=False)
+        np.testing.assert_array_equal(np.asarray(y_fp), np.asarray(y_q))
+
+
+def test_act_scales_save_load_roundtrip(tmp_path, trained):
+    cfg, model, variables, images, _ = trained
+    scales = calibrate(model, variables,
+                       [jnp.asarray(normalize_images(images[:2]))])
+    p = str(tmp_path / "scales.json")
+    save_act_scales(p, scales)
+    back = load_act_scales(p)
+    assert back.keys() == scales.keys()
+    for k in scales:
+        assert np.isclose(back[k], scales[k])
+
+
+def test_calibration_running_amax_over_batches(trained):
+    """calibrate() must keep the per-site MAX across batches, and a
+    brighter batch must raise at least the stem site."""
+    cfg, model, variables, images, _ = trained
+    x1 = jnp.asarray(normalize_images(images[:2]))
+    s1 = calibrate(model, variables, [x1])
+    s12 = calibrate(model, variables, [x1, x1 * 2.0])
+    assert all(s12[k] >= s1[k] - 1e-6 for k in s1)
+    assert any(s12[k] > s1[k] * 1.5 for k in s1)
+
+
+def test_quantized_conv_math_exact_vs_fp_oracle():
+    """The interceptor's int8 conv (incl. grouped/depthwise, stride,
+    explicit padding, bias) must equal an fp32 conv over the *dequantized*
+    int8 operands — int32 accumulation is exact at these magnitudes, so
+    any mismatch is a geometry/scale bug."""
+    import flax.linen as nn
+    from jax import lax
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            x = nn.Conv(8, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)), use_bias=False,
+                        name="c_strided")(x)
+            x = nn.Conv(8, (3, 3), padding="SAME",
+                        feature_group_count=8, name="c_depthwise")(x)
+            x = nn.Conv(12, (1, 1), feature_group_count=4,
+                        name="c_grouped")(x)
+            return x
+
+    model = M()
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(0, 1, (2, 16, 16, 4)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(1), x)
+    scales = calibrate(model, variables, [x], skip=())
+    assert set(scales) == {"c_strided", "c_depthwise", "c_grouped"}
+    y_q = QuantizedModel(model, scales, skip=()).apply(variables, x)
+
+    # fp oracle: run the same module but with fake-quantized x and w
+    def fake_quant_fwd(x):
+        amaxes = dict(scales)
+
+        def interceptor(next_fun, args, kwargs, context):
+            mod = context.module
+            if not isinstance(mod, nn.Conv):
+                return next_fun(*args, **kwargs)
+            k = mod.variables["params"]["kernel"]
+            s_w = jnp.maximum(
+                jnp.max(jnp.abs(k), axis=(0, 1, 2)) / 127.0, 1e-12)
+            k_dq = jnp.clip(jnp.round(k / s_w), -127, 127) * s_w
+            s_a = max(float(amaxes["/".join(mod.path)]), 1e-12) / 127.0
+            x_dq = jnp.clip(jnp.round(args[0] / s_a), -127, 127) * s_a
+            dn = lax.conv_dimension_numbers(
+                x_dq.shape, k_dq.shape, ("NHWC", "HWIO", "NHWC"))
+            pad = mod.padding if isinstance(mod.padding, str) \
+                else tuple(tuple(p) for p in mod.padding)
+            strides = (mod.strides if isinstance(mod.strides, tuple)
+                       else (mod.strides, mod.strides))
+            y = lax.conv_general_dilated(
+                x_dq, k_dq, strides, pad, dimension_numbers=dn,
+                feature_group_count=mod.feature_group_count)
+            if mod.use_bias:
+                y = y + mod.variables["params"]["bias"]
+            return y
+
+        with nn.intercept_methods(interceptor):
+            return model.apply(variables, x)
+
+    y_oracle = fake_quant_fwd(x)
+    np.testing.assert_allclose(np.asarray(y_q), np.asarray(y_oracle),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pipeline_lazy_int8_calibration(tmp_path):
+    from udp_pose_tpu.engine.pose_engine import UdpPosePipeline
+    cfg = _tiny_cfg()
+    cfg.DATASET.DATASET = "coco"
+    cfg.TEST.FLIP_TEST = False
+    base = UdpPosePipeline(cfg, weights=None)
+    pipe = UdpPosePipeline(cfg, weights=base.variables,
+                           quantize="int8", calib_batches=2)
+    rng = np.random.default_rng(5)
+    frame = rng.integers(0, 255, (240, 320, 3), np.uint8)
+    boxes = np.array([[40, 30, 140, 200], [160, 40, 280, 220]], np.float32)
+
+    kps1, _ = pipe.infer_pose(frame, boxes)          # calib batch 1 (bf16)
+    assert pipe.act_scales is None and pipe._calib_seen == 1
+    kps2, _ = pipe.infer_pose(frame, boxes)          # calib batch 2 → freeze
+    assert pipe.act_scales is not None
+    kps3, mv3 = pipe.infer_pose(frame, boxes)        # served int8
+    assert kps3.shape == (2, 17, 2) and np.isfinite(kps3).all()
+    # BOTH calibration calls serve the plain fp pipeline exactly
+    kps_ref, _ = base.infer_pose(frame, boxes)
+    np.testing.assert_allclose(kps1, kps_ref, atol=1e-5)
+    np.testing.assert_allclose(kps2, kps_ref, atol=1e-5)
+
+    # persisted table → a fresh engine skips calibration entirely
+    p = str(tmp_path / "scales.json")
+    pipe.save_act_scales(p)
+    pipe2 = UdpPosePipeline(cfg, weights=base.variables,
+                            quantize="int8", act_scales=p)
+    kps4, _ = pipe2.infer_pose(frame, boxes)
+    assert pipe2._calib_seen == 0
+    np.testing.assert_allclose(kps4, kps3, atol=1e-4)
+
+
+def test_test_cli_quantize_int8(tmp_path):
+    """TPU.QUANTIZE int8 through the real tools/test.py subprocess on
+    synthetic mini-COCO (the reference CLI surface, quantized)."""
+    from flax import serialization
+    from ref_harness import make_mini_coco
+
+    root = str(tmp_path / "data")
+    make_mini_coco(root, n_images=4, seed=3)
+    cfg = _tiny_cfg()
+    cfg.MODEL.IMAGE_SIZE = [96, 128]
+    cfg.MODEL.HEATMAP_SIZE = [24, 32]
+    cfg.MODEL.INIT_WEIGHTS = False
+    cfg.DATASET.DATASET = "coco"
+    cfg.DATASET.ROOT = root
+    cfg.DATASET.TEST_SET = "val2017"
+    cfg.DATASET.COLOR_RGB = True
+    cfg.TEST.USE_GT_BBOX = True
+    cfg.TEST.FLIP_TEST = False
+    cfg.TEST.BATCH_SIZE_PER_GPU = 4
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    cfg.LOG_DIR = str(tmp_path / "log")
+
+    model = build_model(cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 128, 96, 3)), train=False)
+    wpath = str(tmp_path / "w.msgpack")
+    with open(wpath, "wb") as f:
+        f.write(serialization.to_bytes(variables))
+    cfg.TEST.MODEL_FILE = wpath
+    ypath = str(tmp_path / "tiny.yaml")
+    with open(ypath, "w") as f:
+        f.write(cfg.dump())
+
+    env = dict(os.environ, UDP_POSE_PLATFORM="cpu")
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "test.py"),
+         "--cfg", ypath, "TPU.QUANTIZE", "int8"],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=540)
+    assert p.returncode == 0, (p.stdout[-1500:], p.stderr[-1500:])
+    blob = p.stdout + p.stderr
+    assert "int8 PTQ: calibrated" in blob
+    assert "| AP |" in blob or "AP" in blob

@@ -54,6 +54,14 @@ def parse_args():
                         "flight (async dispatch depth) — host decode and "
                         "upload staging of frame i+1 overlap device "
                         "compute/readback of frame i")
+    p.add_argument("--quantize", default="", choices=["", "int8"],
+                   help="PTQ serving mode for the pose net (equivalent to "
+                        "TPU.QUANTIZE int8): first frames serve bf16 while "
+                        "calibrating, then convs run w8a8 on the MXU int8 "
+                        "path")
+    p.add_argument("--act-scales", default="",
+                   help="calibration table (json): load if it exists, else "
+                        "write it there after self-calibration")
     p.add_argument("--save-pose-txt", action="store_true",
                    help="directory mode: write reference-format pose label "
                         "files (x/img_w y/img_h conf per joint, first "
@@ -110,6 +118,11 @@ def main():
         print("note: --low-bw pipelining is the fixed 2-stage stream "
               "(detection of frame i+1 behind pose of frame i); "
               f"--pipeline {args.pipeline} runs at depth 2", file=sys.stderr)
+    quantize = args.quantize or (cfg.TPU.QUANTIZE or "")
+    if quantize and args.fused:
+        raise SystemExit("--quantize applies to the two-stage pose "
+                         "pipeline; the fused graph is transfer-bound "
+                         "(DESIGN.md) and stays bf16")
     fused = None
     if args.fused:
         from udp_pose_tpu.engine.fused import FusedDetectPose
@@ -124,7 +137,11 @@ def main():
             person_class=args.person_class)
         pose = fused._pose
     else:
-        pose = UdpPosePipeline(cfg, args.pose_weights or None)
+        scales = (args.act_scales
+                  if args.act_scales and os.path.exists(args.act_scales)
+                  else None)
+        pose = UdpPosePipeline(cfg, args.pose_weights or None,
+                               quantize=quantize or None, act_scales=scales)
     label_det = (LabelBoxDetector(args.bbox_dir, args.person_class)
                  if args.bbox_dir else None)
     yolo_det = None
@@ -315,6 +332,11 @@ def main():
             out_path = os.path.join(args.save_dir, os.path.basename(src))
             cv2.imwrite(out_path, out)
             print(f"saved {out_path}")
+
+    if (args.act_scales and getattr(pose, "act_scales", None)
+            and not os.path.exists(args.act_scales)):
+        pose.save_act_scales(args.act_scales)
+        print(f"saved int8 calibration table to {args.act_scales}")
 
 
 if __name__ == "__main__":

@@ -70,6 +70,23 @@ def main():
         variables = jax.jit(lambda r: model.init(
             r, jnp.zeros((1, h, w, 3)), train=False))(jax.random.PRNGKey(0))
 
+    if cfg.TPU.QUANTIZE == "int8":
+        # PTQ serving mode: amax-calibrate on the first val batches, then
+        # run every conv w8a8 on the MXU int8 path (models/quantize.py)
+        import itertools
+
+        from udp_pose_tpu.core.train import normalize_images
+        from udp_pose_tpu.data.base import epoch_loader
+        from udp_pose_tpu.models.quantize import QuantizedModel, calibrate
+        n_calib = max(1, cfg.TPU.QUANTIZE_CALIB_BATCHES)
+        batches = (normalize_images(b["image"]) for b in itertools.islice(
+            epoch_loader(val_ds, cfg.TEST.BATCH_SIZE_PER_GPU,
+                         shuffle=False, drop_last=False), n_calib))
+        scales = calibrate(model, variables, batches)
+        logger.info(f"=> int8 PTQ: calibrated {len(scales)} conv sites "
+                    f"on {n_calib} batches")
+        model = QuantizedModel(model, scales)
+
     mesh = None
     if len(jax.local_devices()) > 1:
         from udp_pose_tpu.parallel import make_mesh

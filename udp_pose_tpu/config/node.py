@@ -262,6 +262,8 @@ def default_config() -> Node:
     c.TPU.MESH.MODEL = 1
     c.TPU.DTYPE = "bfloat16"   # compute dtype for model forward
     c.TPU.REMAT = False        # jax.checkpoint on heavy blocks
+    c.TPU.QUANTIZE = ""        # "" | "int8": PTQ serving mode (models/quantize.py)
+    c.TPU.QUANTIZE_CALIB_BATCHES = 2  # batches used for amax calibration
     return c
 
 

@@ -42,7 +42,8 @@ class UdpPosePipeline:
     (smoke mode).
     """
 
-    def __init__(self, cfg, weights=None, flip_test=None, mesh=None):
+    def __init__(self, cfg, weights=None, flip_test=None, mesh=None,
+                 quantize=None, act_scales=None, calib_batches=None):
         import jax
         import jax.numpy as jnp
         from ..config import Node, load_config
@@ -65,8 +66,58 @@ class UdpPosePipeline:
         self.model = build_model(cfg)
         self.variables = self._load_weights(weights)
         self._flip = (cfg.TEST.FLIP_TEST if flip_test is None else flip_test)
+        # int8 PTQ serving mode (models/quantize.py): with a calibration
+        # table the convs run w8a8 on the MXU's 2x int8 path; without one
+        # the first ``calib_batches`` infer_pose calls serve in bf16 while
+        # recording per-site input amax, then the engine switches itself.
+        self.quantize = quantize if quantize is not None else \
+            (cfg.TPU.QUANTIZE or None)
+        if isinstance(act_scales, str):
+            from ..models.quantize import load_act_scales
+            act_scales = load_act_scales(act_scales)
+        self.act_scales = act_scales
+        self.calib_batches = (calib_batches if calib_batches is not None
+                              else cfg.TPU.QUANTIZE_CALIB_BATCHES)
+        self._calib_seen = 0
+        self._amax = {}
+        self._collect = None
+        self._prep = None
+        self._infer_fp = None           # bf16 graph used while calibrating
         # ONE jitted closure; jax.jit caches per padded-bucket shape
         self._infer = None
+
+    def _active_model(self):
+        if self.quantize == "int8" and self.act_scales is not None:
+            from ..models.quantize import QuantizedModel
+            return QuantizedModel(self.model, self.act_scales)
+        if self.quantize not in (None, "", "int8"):
+            raise ValueError(f"unknown quantize mode {self.quantize!r}")
+        return self.model
+
+    def save_act_scales(self, path):
+        """Persist the calibration table (json) for later runs."""
+        from ..models.quantize import save_act_scales
+        if self.act_scales is None:
+            raise RuntimeError("engine is not calibrated yet")
+        save_act_scales(path, self.act_scales)
+
+    def _calibrate_step(self, frame, center_p, scale_p):
+        """Record per-conv amax on this (bf16-served) batch; switch the
+        engine to int8 once ``calib_batches`` batches were seen."""
+        import jax
+        from ..models.quantize import collect_conv_amax
+        if self._prep is None:
+            self._prep = self._build_prep()
+        if self._collect is None:
+            self._collect = jax.jit(lambda v, x: collect_conv_amax(
+                self.model, v, x, train=False))
+        x = self._prep(frame, center_p, scale_p)
+        got = jax.device_get(self._collect(self.variables, x))
+        for k, v in got.items():
+            self._amax[k] = max(self._amax.get(k, 0.0), float(v))
+        self._calib_seen += 1
+        if self._calib_seen >= self.calib_batches:
+            self.act_scales = dict(self._amax)
 
     def _load_weights(self, weights):
         import jax
@@ -102,29 +153,45 @@ class UdpPosePipeline:
         v, _ = torch_to_flax_from_cfg(sd, self.cfg)
         return v
 
-    def _build_infer(self):
+    def _make_prep(self):
+        """(frame, center, scale) → normalised crop batch (model input)."""
         import jax
         import jax.numpy as jnp
         from ..core.train import normalize_images
         from ..ops.affine import classic_affine_matrix, crop_boxes
+
+        w, h = self.input_wh
+
+        def prep(frame, center, scale):
+            mats = jax.vmap(lambda c, s: classic_affine_matrix(
+                c, s, 0.0, (w, h), inv=True))(center, scale)
+            crops = crop_boxes(frame.astype(jnp.float32), mats, (h, w))
+            return normalize_images(crops)
+        return prep
+
+    def _build_prep(self):
+        import jax
+        return jax.jit(self._make_prep())
+
+    def _build_infer(self, force_fp=False):
+        import jax
+        import jax.numpy as jnp
         from ..ops.decode import get_final_preds
         from ..ops.flip import flip_back, flip_back_offset
 
         cfg = self.cfg
-        w, h = self.input_wh
         target_type = cfg.MODEL.TARGET_TYPE
         pairs = tuple(map(tuple, self.flip_pairs))
         flip = self._flip
+        prep = self._make_prep()
+        model = self.model if force_fp else self._active_model()
 
         def run(variables, frame, center, scale):
-            mats = jax.vmap(lambda c, s: classic_affine_matrix(
-                c, s, 0.0, (w, h), inv=True))(center, scale)
-            crops = crop_boxes(frame.astype(jnp.float32), mats, (h, w))
-            x = normalize_images(crops)
+            x = prep(frame, center, scale)
             B = x.shape[0]
             if flip:
                 x = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0)
-            out = self.model.apply(variables, x, train=False)
+            out = model.apply(variables, x, train=False)
             hm = out.transpose(0, 3, 1, 2).astype(jnp.float32)
             if flip:
                 hm, hm_f = hm[:B], hm[B:]
@@ -161,13 +228,22 @@ class UdpPosePipeline:
             # pad to a data-axis-divisible bucket so crops shard evenly
             n_data = self.mesh.shape["data"]
             bucket = max(bucket, ((bucket + n_data - 1) // n_data) * n_data)
-        if self._infer is None:
-            self._infer = self._build_infer()
         pad = bucket - n
         center_p = np.concatenate([center, np.tile(center[:1], (pad, 1))])
         scale_p = np.concatenate([scale, np.tile(scale[:1], (pad, 1))])
-        preds, maxvals = self._infer(
-            self.variables, jnp.asarray(img), center_p, scale_p)
+        frame = jnp.asarray(img)
+        if (self.quantize == "int8" and self.act_scales is None):
+            # calibration phase: record amax, serve this call in bf16;
+            # the int8 graph takes over on the first post-freeze call
+            self._calibrate_step(frame, center_p, scale_p)
+            if self._infer_fp is None:
+                self._infer_fp = self._build_infer(force_fp=True)
+            infer = self._infer_fp
+        else:
+            if self._infer is None:
+                self._infer = self._build_infer()
+            infer = self._infer
+        preds, maxvals = infer(self.variables, frame, center_p, scale_p)
         return np.asarray(preds)[:n], np.asarray(maxvals)[:n]
 
     def draw_keypoints(self, image, keypoints, radius=1):

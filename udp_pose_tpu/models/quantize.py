@@ -1,0 +1,210 @@
+"""Post-training int8 quantization (w8a8) as a first-class serving mode.
+
+The TPU v5e MXU executes int8 dots at ~2-3x the bf16 rate (measured 479
+vs 148 Top/s on a 4k matmul here), and the HRNet stages run MXU-bound at
+51-56% of bf16 peak (DESIGN.md round-2 study) — so int8 is the one
+remaining >1.5x single-chip inference lever after the bf16 ceiling was
+pinned as structural.  The reference only reaches int8 by exporting
+through MNN/OpenVINO (deep_hrnet/scripts/export_mnn.sh); here it is
+native.
+
+Scheme (standard PTQ):
+  * weights: symmetric per-output-channel int8,
+  * activations: symmetric per-tensor int8, amax-calibrated on
+    representative batches,
+  * conv accumulates in int32; dequant (scale * s_a * s_w + bias) is an
+    elementwise epilogue XLA fuses into the conv; BatchNorm, residual
+    adds, attention and decode all stay in bf16/fp32.
+
+Only ``nn.Conv`` calls are replaced — via a flax method interceptor
+(``nn.intercept_methods``) — so every Flax model in the zoo quantizes
+without model changes, and the un-quantized fallback path is byte-for-
+byte the original module.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import json
+from typing import Any, Dict, Iterable, Mapping, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# Keep the output head in fp by default: its cost is negligible and the
+# sub-pixel decode (DARK Taylor / UDP offset) reads its values directly.
+DEFAULT_SKIP = ("final_layer", "*final*", "*attn*", "*deattn*")
+
+
+def _is_plain_conv(mod) -> bool:
+    """True for nn.Conv instances the int8 path supports (no transposed
+    convs, no circular padding, no input dilation)."""
+    if type(mod) is not nn.Conv:
+        return False
+    if isinstance(mod.padding, str) and mod.padding.upper() == "CIRCULAR":
+        return False
+    in_dil = getattr(mod, "input_dilation", None)
+    if in_dil not in (None, 1, (1,), (1, 1)):
+        return False
+    return True
+
+
+def _pair(v, default=1):
+    if v is None:
+        return (default, default)
+    if isinstance(v, int):
+        return (v, v)
+    t = tuple(v)
+    return t if len(t) == 2 else (t[0], t[0])
+
+
+def _conv_padding(mod):
+    p = mod.padding
+    if isinstance(p, str):
+        return p
+    if isinstance(p, int):
+        return ((p, p), (p, p))
+    out = []
+    for e in p:
+        out.append((e, e) if isinstance(e, int) else tuple(e))
+    return tuple(out)
+
+
+def _path_of(mod) -> str:
+    return "/".join(str(p) for p in mod.path)
+
+
+def _matches(path: str, patterns: Iterable[str]) -> bool:
+    return any(fnmatch.fnmatch(path, pat) or path.endswith(pat)
+               for pat in patterns)
+
+
+# --------------------------------------------------------------------------
+# Calibration
+# --------------------------------------------------------------------------
+
+def collect_conv_amax(model, variables, *args, skip: Sequence[str] = (),
+                      **kwargs) -> Dict[str, jnp.ndarray]:
+    """One forward pass recording per-conv-site input amax.
+
+    Returns ``{conv_path: scalar amax}`` as traced values — jit-friendly,
+    so calibration over many batches is one compiled graph per shape.
+    """
+    sink: Dict[str, jnp.ndarray] = {}
+
+    def rec(next_fun, a, kw, context):
+        mod = context.module
+        if (_is_plain_conv(mod) and context.method_name == "__call__"
+                and not _matches(_path_of(mod), skip)):
+            sink[_path_of(mod)] = jnp.max(jnp.abs(a[0].astype(jnp.float32)))
+        return next_fun(*a, **kw)
+
+    with nn.intercept_methods(rec):
+        model.apply(variables, *args, **kwargs)
+    return sink
+
+
+def calibrate(model, variables, batches: Iterable, *,
+              skip: Sequence[str] = DEFAULT_SKIP,
+              apply_kwargs: Optional[Mapping[str, Any]] = None
+              ) -> Dict[str, float]:
+    """Run ``batches`` (iterable of input arrays) through the model and
+    return the running per-site input amax — the activation calibration
+    table for :class:`QuantizedModel`."""
+    kw = dict(apply_kwargs or {})
+    kw.setdefault("train", False)
+
+    step = jax.jit(lambda v, x: collect_conv_amax(model, v, x, skip=skip,
+                                                  **kw))
+    amax: Dict[str, float] = {}
+    for x in batches:
+        got = jax.device_get(step(variables, x))
+        for k, v in got.items():
+            amax[k] = max(amax.get(k, 0.0), float(v))
+    return amax
+
+
+def save_act_scales(path: str, amax: Mapping[str, float]) -> None:
+    with open(path, "w") as f:
+        json.dump(dict(amax), f, indent=1, sort_keys=True)
+
+
+def load_act_scales(path: str) -> Dict[str, float]:
+    with open(path) as f:
+        return {str(k): float(v) for k, v in json.load(f).items()}
+
+
+# --------------------------------------------------------------------------
+# Quantized apply
+# --------------------------------------------------------------------------
+
+def _quantized_conv(mod, x, amax: float):
+    """int8 w8a8 replacement for one nn.Conv call (NHWC)."""
+    params = mod.variables["params"]
+    kernel = params["kernel"].astype(jnp.float32)      # (kh, kw, cin/g, cout)
+
+    s_w = jnp.max(jnp.abs(kernel), axis=(0, 1, 2)) / 127.0
+    s_w = jnp.maximum(s_w, 1e-12)
+    w_i8 = jnp.clip(jnp.round(kernel / s_w), -127, 127).astype(jnp.int8)
+
+    s_a = max(float(amax), 1e-12) / 127.0
+    x_f = x.astype(jnp.float32)
+    x_i8 = jnp.clip(jnp.round(x_f * (1.0 / s_a)), -127, 127).astype(jnp.int8)
+
+    dn = lax.conv_dimension_numbers(x.shape, w_i8.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    y = lax.conv_general_dilated(
+        x_i8, w_i8, _pair(mod.strides), _conv_padding(mod),
+        rhs_dilation=_pair(getattr(mod, "kernel_dilation", 1)),
+        dimension_numbers=dn,
+        feature_group_count=getattr(mod, "feature_group_count", 1),
+        preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * (s_a * s_w)
+    if mod.use_bias:
+        y = y + params["bias"].astype(jnp.float32)
+    out_dtype = mod.dtype if mod.dtype is not None else x.dtype
+    return y.astype(out_dtype)
+
+
+class QuantizedModel:
+    """Drop-in ``.apply`` adapter running every calibrated conv in int8.
+
+    Works anywhere the framework passes a model with an ``apply``
+    (``make_infer_fn``, engines, export): sites present in ``act_scales``
+    and not matched by ``skip`` run as int8 convs; everything else is the
+    original module code.
+    """
+
+    def __init__(self, model, act_scales: Mapping[str, float],
+                 skip: Sequence[str] = DEFAULT_SKIP,
+                 min_in_channels: int = 0):
+        self.model = model
+        self.act_scales = dict(act_scales)
+        self.skip = tuple(skip)
+        # Sites whose contraction dim (9*C_in for a 3x3) underfills the
+        # MXU see no int8 win but still pay the quant/dequant passes —
+        # measured on v5e the knee is C_in>=64 (DESIGN.md round-3 int8
+        # study); 0 quantizes every calibrated site.
+        self.min_in_channels = int(min_in_channels)
+
+    def __getattr__(self, name):               # delegate e.g. .init, attrs
+        return getattr(self.model, name)
+
+    def _interceptor(self, next_fun, args, kwargs, context):
+        mod = context.module
+        if not (_is_plain_conv(mod) and context.method_name == "__call__"):
+            return next_fun(*args, **kwargs)
+        path = _path_of(mod)
+        if path not in self.act_scales or _matches(path, self.skip):
+            return next_fun(*args, **kwargs)
+        kernel = mod.variables["params"]["kernel"]
+        if kernel.shape[2] * getattr(mod, "feature_group_count", 1) \
+                < self.min_in_channels:
+            return next_fun(*args, **kwargs)
+        return _quantized_conv(mod, args[0], self.act_scales[path])
+
+    def apply(self, variables, *args, **kwargs):
+        with nn.intercept_methods(self._interceptor):
+            return self.model.apply(variables, *args, **kwargs)
