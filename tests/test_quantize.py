@@ -142,6 +142,54 @@ def test_calibration_running_amax_over_batches(trained):
     assert any(s12[k] > s1[k] * 1.5 for k in s1)
 
 
+@pytest.mark.parametrize("family", ["shufflenet_ps", "mobilenetv3", "rsn"])
+def test_zoo_quantizes_without_model_changes(family):
+    """The interceptor claim — every Flax model in the zoo quantizes with
+    zero model changes — checked on the families with distinctive conv
+    shapes: grouped/channel-shuffle + DUC (shufflenetv2+ pixel-shuffle),
+    depthwise + SE (mobilenetv3), multi-stage residual-steps (RSN)."""
+    cfg = default_config()
+    cfg.TPU.DTYPE = "float32"
+    cfg.MODEL.IMAGE_SIZE = [96, 128]
+    cfg.MODEL.HEATMAP_SIZE = [24, 32]
+    if family == "shufflenet_ps":
+        cfg.MODEL.NAME = "pose_shufflenetv2_plus_pixel_shuffle"
+        cfg.MODEL.EXTRA.MODEL_SIZE = "Small"
+        cfg.MODEL.EXTRA.START_CHANNELS = 64
+        cfg.MODEL.EXTRA.ARCHITECTURE = [128, 128, 128]
+        cfg.MODEL.EXTRA.FINAL_CONV_KERNEL = 1
+    elif family == "mobilenetv3":
+        cfg.MODEL.NAME = "pose_mobilenetv3_small"
+        cfg.MODEL.EXTRA.NUM_DECONV_LAYERS = 2
+        cfg.MODEL.EXTRA.NUM_DECONV_FILTERS = [64, 64]
+        cfg.MODEL.EXTRA.NUM_DECONV_KERNELS = [4, 4]
+        cfg.MODEL.EXTRA.DECONV_WITH_BIAS = False
+        cfg.MODEL.EXTRA.FINAL_CONV_KERNEL = 1
+    else:
+        cfg.MODEL.NAME = "rsn"
+        cfg.MODEL.EXTRA.STAGE_NUM = 2
+        cfg.MODEL.EXTRA.UPSAMPLE_CHANNEL_NUM = 64
+    model = build_model(cfg)
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.normal(0, 1, (2, 128, 96, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(2), x, train=False)
+    scales = calibrate(model, variables, [x])
+    assert len(scales) > 10, f"{family}: only {len(scales)} conv sites"
+    qm = QuantizedModel(model, scales)
+    y_fp = model.apply(variables, x, train=False)
+    y_q = qm.apply(variables, x, train=False)
+    assert len(qm.engaged) == len(scales), \
+        f"{family}: {len(qm.engaged)}/{len(scales)} sites engaged"
+    flat_fp = np.ravel(np.asarray(
+        jax.tree_util.tree_leaves(y_fp)[0]))
+    flat_q = np.ravel(np.asarray(jax.tree_util.tree_leaves(y_q)[0]))
+    assert flat_q.shape == flat_fp.shape and np.isfinite(flat_q).all()
+    # random-init closeness (loose): int8 should track fp structure
+    denom = max(np.abs(flat_fp).max(), 1e-6)
+    assert np.abs(flat_q - flat_fp).max() / denom < 0.25, \
+        f"{family}: rel err {np.abs(flat_q - flat_fp).max() / denom}"
+
+
 def test_quantized_conv_math_exact_vs_fp_oracle():
     """The interceptor's int8 conv (incl. grouped/depthwise, stride,
     explicit padding, bias) must equal an fp32 conv over the *dequantized*
@@ -236,6 +284,35 @@ def test_pipeline_lazy_int8_calibration(tmp_path):
     kps4, _ = pipe2.infer_pose(frame, boxes)
     assert pipe2._calib_seen == 0
     np.testing.assert_allclose(kps4, kps3, atol=1e-4)
+
+
+def test_int8_pipeline_sharded_over_mesh_matches_single(tmp_path):
+    """int8 serving under a jax.sharding Mesh: the quantized crop-batch
+    computation shards over the 'data' axis (GSPMD partitions the int8
+    convs) and must match the single-device int8 pipeline exactly."""
+    from udp_pose_tpu.engine.pose_engine import UdpPosePipeline
+    from udp_pose_tpu.parallel import make_mesh
+
+    cfg = _tiny_cfg()
+    cfg.DATASET.DATASET = "coco"
+    cfg.TEST.FLIP_TEST = False
+    base = UdpPosePipeline(cfg, weights=None)
+    rng = np.random.default_rng(17)
+    frame = rng.integers(0, 255, (240, 320, 3), np.uint8)
+    boxes = np.array([[40, 30, 140, 200], [160, 40, 280, 220],
+                      [10, 10, 90, 150]], np.float32)
+
+    single = UdpPosePipeline(cfg, weights=base.variables,
+                             quantize="int8", calib_batches=1)
+    single.infer_pose(frame, boxes)               # calibrate + freeze
+    kps_single, _ = single.infer_pose(frame, boxes)
+
+    mesh = make_mesh(-1, 1)
+    sharded = UdpPosePipeline(cfg, weights=base.variables, mesh=mesh,
+                              quantize="int8",
+                              act_scales=dict(single.act_scales))
+    kps_mesh, _ = sharded.infer_pose(frame, boxes)
+    np.testing.assert_allclose(kps_mesh, kps_single, atol=1e-4)
 
 
 def test_test_cli_quantize_int8(tmp_path):

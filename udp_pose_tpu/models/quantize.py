@@ -185,9 +185,12 @@ class QuantizedModel:
         self.skip = tuple(skip)
         # Sites whose contraction dim (9*C_in for a 3x3) underfills the
         # MXU see no int8 win but still pay the quant/dequant passes —
-        # measured on v5e the knee is C_in>=64 (DESIGN.md round-3 int8
-        # study); 0 quantizes every calibrated site.
+        # the v5e sweep (DESIGN.md round-3 int8 study) measured full
+        # quantization ≈ C_in>=64 within noise; 0 quantizes every
+        # calibrated site.
         self.min_in_channels = int(min_in_channels)
+        #: conv paths actually replaced with int8 (filled at trace time)
+        self.engaged = set()
 
     def __getattr__(self, name):               # delegate e.g. .init, attrs
         return getattr(self.model, name)
@@ -203,6 +206,7 @@ class QuantizedModel:
         if kernel.shape[2] * getattr(mod, "feature_group_count", 1) \
                 < self.min_in_channels:
             return next_fun(*args, **kwargs)
+        self.engaged.add(path)
         return _quantized_conv(mod, args[0], self.act_scales[path])
 
     def apply(self, variables, *args, **kwargs):
