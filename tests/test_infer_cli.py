@@ -204,7 +204,7 @@ def test_flag_guards(cli_env):
     out = _run(["--source", cli_env["src"], "--pose-cfg", cli_env["cfg"],
                 "--detector", "yolov5n", "--fused", "--quantize", "int8"],
                expect_rc=1, timeout=120)
-    assert "--quantize applies to the two-stage" in out
+    assert "needs a precomputed calibration table" in out
     out = _run(["--source", cli_env["src"], "--pose-cfg", cli_env["cfg"],
                 "--detector", "yolov5n", "--fused", "--pipeline", "2",
                 "--chunk", "4"], expect_rc=1, timeout=120)

@@ -315,6 +315,54 @@ def test_int8_pipeline_sharded_over_mesh_matches_single(tmp_path):
     np.testing.assert_allclose(kps_mesh, kps_single, atol=1e-4)
 
 
+def test_fused_engine_int8_pose_subgraph(trained, tmp_path):
+    """FusedDetectPose(pose_act_scales=...): the pose subgraph of the
+    single-dispatch serving graph runs int8 from a precomputed table and
+    tracks the fp fused engine on a trained model."""
+    from udp_pose_tpu.engine.fused import FusedDetectPose
+    cfg, model, variables, images, joints = trained
+    cfg = cfg.clone()
+    cfg.DATASET.DATASET = "coco"
+    cfg.TEST.FLIP_TEST = False
+
+    scales = calibrate(model, variables,
+                       [jnp.asarray(normalize_images(images))])
+    p = str(tmp_path / "scales.json")
+    save_act_scales(p, scales)
+
+    # stub detector emitting one fixed person box (letterbox coords)
+    import flax.linen as nn
+
+    class _Stub:
+        def apply(self, v, x, train=False):
+            pred = np.zeros((64, 85), np.float32)
+            pred[:, 4] = 1e-4
+            pred[0, :4] = (32, 32, 40, 56)
+            pred[0, 4] = 0.95
+            pred[0, 5] = 0.95
+            return jnp.asarray(pred)[None]
+
+    def mk(act):
+        eng = FusedDetectPose(cfg, variables, yolo_variant="n",
+                              max_persons=4, det_size=64, topk=16,
+                              pose_act_scales=act)
+        eng.yolo = _Stub()
+        return eng
+
+    rng = np.random.default_rng(23)
+    frame = rng.integers(0, 255, (96, 96, 3)).astype(np.uint8)
+    out_fp = mk(None).infer_frame(frame)
+    eng_q = mk(p)
+    out_q = eng_q.infer_frame(frame)
+    assert eng_q._pose._active_model().__class__.__name__ == \
+        "QuantizedModel"
+    kp_fp = np.asarray(out_fp["keypoints"])
+    kp_q = np.asarray(out_q["keypoints"])
+    assert kp_fp.shape == kp_q.shape and kp_fp.shape[0] >= 1
+    d = np.abs(kp_q - kp_fp)
+    assert np.median(d) < 1.0, f"fused int8 drift median {np.median(d)}"
+
+
 def test_test_cli_quantize_int8(tmp_path):
     """TPU.QUANTIZE int8 through the real tools/test.py subprocess on
     synthetic mini-COCO (the reference CLI surface, quantized)."""

@@ -119,10 +119,15 @@ def main():
               "(detection of frame i+1 behind pose of frame i); "
               f"--pipeline {args.pipeline} runs at depth 2", file=sys.stderr)
     quantize = args.quantize or (cfg.TPU.QUANTIZE or "")
-    if quantize and args.fused:
-        raise SystemExit("--quantize applies to the two-stage pose "
-                         "pipeline; the fused graph is transfer-bound "
-                         "(DESIGN.md) and stays bf16")
+    if quantize and args.fused and not (
+            args.act_scales and os.path.exists(args.act_scales)):
+        raise SystemExit(
+            "--quantize with --fused needs a precomputed calibration "
+            "table (--act-scales pointing at an existing json): the "
+            "fused graph's crops only exist in-graph, so it cannot "
+            "self-calibrate — produce the table with a two-stage run "
+            "(--quantize int8 --act-scales f.json, no --fused) or "
+            "tools/test.py ... TPU.QUANTIZE int8")
     fused = None
     if args.fused:
         from udp_pose_tpu.engine.fused import FusedDetectPose
@@ -134,7 +139,8 @@ def main():
             yolo_variant=args.detector.replace("yolov5", ""),
             yolo_weights=w, max_persons=args.max_persons,
             conf_thres=args.conf_thres, iou_thres=args.iou_thres,
-            person_class=args.person_class)
+            person_class=args.person_class,
+            pose_act_scales=args.act_scales if quantize else None)
         pose = fused._pose
     else:
         scales = (args.act_scales

@@ -38,16 +38,25 @@ class FusedDetectPose:
                  det_size: int = 640, conf_thres: float = 0.25,
                  iou_thres: float = 0.45, topk: int = 512,
                  person_class: int = 0, flip_test: Optional[bool] = None,
-                 mesh=None):
+                 mesh=None, pose_act_scales=None):
         import jax
         import jax.numpy as jnp
 
         from ..models.yolov5 import YOLOv5
         from .pose_engine import UdpPosePipeline
 
-        # reuse the pose pipeline's model build + weight loading
-        self._pose = UdpPosePipeline(pose_cfg, pose_weights,
-                                     flip_test=flip_test)
+        # reuse the pose pipeline's model build + weight loading.
+        # ``pose_act_scales`` (dict or json path) runs the pose subgraph
+        # in int8 (models/quantize.py) — the fused graph can't lazily
+        # self-calibrate (its crops only exist in-graph), so the table
+        # comes precomputed, e.g. from a UdpPosePipeline/-act-scales run
+        # or tools/test.py TPU.QUANTIZE int8.  Wins on PCIe-class links
+        # where the ~15 ms/frame chip time matters; on the dev tunnel the
+        # frame upload dominates either way (DESIGN.md).
+        self._pose = UdpPosePipeline(
+            pose_cfg, pose_weights, flip_test=flip_test,
+            quantize="int8" if pose_act_scales is not None else None,
+            act_scales=pose_act_scales)
         self.cfg = self._pose.cfg
         self.num_joints = self._pose.num_joints
         self.skeleton = self._pose.skeleton
@@ -178,7 +187,8 @@ class FusedDetectPose:
             xc = normalize_images(crops)
             if flip:
                 xc = jnp.concatenate([xc, xc[:, :, ::-1, :]], axis=0)
-            out = self._pose.model.apply(pose_vars, xc, train=False)
+            out = self._pose._active_model().apply(pose_vars, xc,
+                                                   train=False)
             hm = out.transpose(0, 3, 1, 2).astype(jnp.float32)
             if flip:
                 hm, hm_f = hm[:M], hm[M:]
@@ -231,7 +241,8 @@ class FusedDetectPose:
             xc = normalize_images(crops_u8)
             if flip:
                 xc = jnp.concatenate([xc, xc[:, :, ::-1, :]], axis=0)
-            out = self._pose.model.apply(pose_vars, xc, train=False)
+            out = self._pose._active_model().apply(pose_vars, xc,
+                                                   train=False)
             hm = out.transpose(0, 3, 1, 2).astype(jnp.float32)
             if flip:
                 hm, hm_f = hm[:n_crops], hm[n_crops:]
