@@ -189,6 +189,35 @@ def test_quantize_int8_calibrate_then_reuse(cli_env):
     assert sorted(os.listdir(out_dir)) == ["f0.jpg", "f1.jpg"]
 
 
+def test_quantize_int8_detector_table(cli_env):
+    """Two-stage --detector --quantize int8: the detector self-calibrates
+    on its letterboxed frames (independent of person detections) and
+    --det-act-scales persists the table; a second run loads it."""
+    tmp = cli_env["tmp"]
+    det_calib = str(tmp / "det_calib.json")
+    out_dir = str(tmp / "out_det_q")
+    args = ["--source", cli_env["src"], "--pose-cfg", cli_env["cfg"],
+            "--detector", "yolov5n", "--quantize", "int8",
+            "--det-act-scales", det_calib, "--save-dir", out_dir]
+    out = _run(args + ["TPU.QUANTIZE_CALIB_BATCHES", "2"])
+    assert "saved detector int8 calibration table" in out
+    assert os.path.exists(det_calib)
+    out2 = _run(args)                      # table exists → loaded, no save
+    assert "saved detector int8 calibration table" not in out2
+
+
+def test_low_bw_quantize_self_calibrates(cli_env):
+    """--fused --low-bw --quantize int8 needs NO precomputed table (the
+    low-bw path host-crops, so both nets self-calibrate) — the guard that
+    blocks single-dispatch fused int8 must not fire here."""
+    out_dir = str(cli_env["tmp"] / "out_lbw_q")
+    _run(["--source", cli_env["src"], "--pose-cfg", cli_env["cfg"],
+          "--detector", "yolov5n", "--fused", "--low-bw",
+          "--quantize", "int8", "--max-persons", "4",
+          "--save-dir", out_dir, "TPU.QUANTIZE_CALIB_BATCHES", "1"])
+    assert sorted(os.listdir(out_dir)) == ["f0.jpg", "f1.jpg"]
+
+
 def test_flag_guards(cli_env):
     # --low-bw without --fused and with --chunk must error loudly
     out = _run(["--source", cli_env["src"], "--pose-cfg", cli_env["cfg"],

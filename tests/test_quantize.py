@@ -363,6 +363,138 @@ def test_fused_engine_int8_pose_subgraph(trained, tmp_path):
     assert np.median(d) < 1.0, f"fused int8 drift median {np.median(d)}"
 
 
+def test_detector_int8_self_calibration_and_drift():
+    """build_flax_yolo_detector(quantize='int8'): serves fp while
+    recording amax on the first calib_batches frames, then switches to
+    the int8 graph; raw head outputs track the fp detector (the detect
+    heads stay fp via DEFAULT_SKIP)."""
+    from udp_pose_tpu.engine.detector import build_flax_yolo_detector
+
+    kw = dict(variant="n", input_size=64, device_topk=0)
+    det_fp = build_flax_yolo_detector(**kw)
+    det_q = build_flax_yolo_detector(quantize="int8", calib_batches=2,
+                                     **kw)
+    assert det_q.get_act_scales() is None
+    rng = np.random.default_rng(3)
+    xs = [rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+          for _ in range(3)]
+    # calibration frames serve bit-identical to fp (same PRNGKey(0) init)
+    for x in xs[:2]:
+        np.testing.assert_array_equal(np.asarray(det_q.model_fn(x)),
+                                      np.asarray(det_fp.model_fn(x)))
+    scales = det_q.get_act_scales()
+    assert scales is not None and len(scales) > 0
+    p_q = np.asarray(det_q.model_fn(xs[2]))
+    p_fp = np.asarray(det_fp.model_fn(xs[2]))
+    assert p_q.shape == p_fp.shape
+    # xywh in canvas pixels (≤64): int8 drift must be sub-pixel-ish
+    d_box = np.abs(p_q[..., :4] - p_fp[..., :4])
+    d_conf = np.abs(p_q[..., 4:] - p_fp[..., 4:])
+    assert np.median(d_box) < 0.5, f"box drift median {np.median(d_box)}"
+    assert np.median(d_conf) < 0.05, f"conf drift {np.median(d_conf)}"
+    # persistence round-trip -> a fresh detector runs int8 immediately
+    # and matches the self-calibrated one bit-for-bit (same table)
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "det.json")
+        det_q.save_act_scales(path)
+        det_pre = build_flax_yolo_detector(quantize="int8",
+                                           act_scales=path, **kw)
+        np.testing.assert_array_equal(np.asarray(det_pre.model_fn(xs[2])),
+                                      p_q)
+
+
+def test_fused_detector_int8_self_calibration(trained, tmp_path):
+    """FusedDetectPose(quantize='int8'): the detector subgraph
+    self-calibrates on the host-letterbox parity canvas of the first
+    frames (the pose table is precomputed), then the serving graphs
+    rebuild around the int8 YOLOv5; a fresh engine loading the frozen
+    table bit-matches the self-calibrated one."""
+    from udp_pose_tpu.engine.fused import FusedDetectPose
+    cfg, model, variables, images, joints = trained
+    cfg = cfg.clone()
+    cfg.DATASET.DATASET = "coco"
+    cfg.TEST.FLIP_TEST = False
+    cfg.TPU.QUANTIZE_CALIB_BATCHES = 2
+
+    pose_scales = calibrate(model, variables,
+                            [jnp.asarray(normalize_images(images))])
+
+    def mk(det_scales):
+        return FusedDetectPose(cfg, variables, yolo_variant="n",
+                               max_persons=4, det_size=64, topk=16,
+                               conf_thres=1e-4, quantize="int8",
+                               pose_act_scales=dict(pose_scales),
+                               det_act_scales=det_scales)
+
+    eng = mk(None)
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 255, (96, 96, 3)).astype(np.uint8)
+              for _ in range(3)]
+    eng.infer_frame(frames[0])
+    assert eng.det_act_scales is None          # still calibrating
+    eng.infer_frame(frames[1])
+    assert eng.det_act_scales is not None      # frozen after 2 frames
+    assert eng._active_yolo().__class__.__name__ == "QuantizedModel"
+    out_q = eng.infer_frame(frames[2])
+
+    p = str(tmp_path / "det_scales.json")
+    eng.save_det_act_scales(p)
+    eng_pre = mk(p)
+    out_pre = eng_pre.infer_frame(frames[2])
+    np.testing.assert_array_equal(np.asarray(out_q["keypoints"]),
+                                  np.asarray(out_pre["keypoints"]))
+    np.testing.assert_array_equal(np.asarray(out_q["scores"]),
+                                  np.asarray(out_pre["scores"]))
+
+
+def test_lowbw_pose_self_calibration(trained):
+    """--low-bw + quantize='int8' with NO tables: the pose crops exist
+    host-side (native warp), so the engine self-calibrates — first
+    frames serve bf16 while recording amax, then the pose graphs rebuild
+    int8 and track the fp low-bw engine on a trained model."""
+    from udp_pose_tpu.engine.fused import FusedDetectPose
+    cfg, model, variables, images, joints = trained
+    cfg = cfg.clone()
+    cfg.DATASET.DATASET = "coco"
+    cfg.TEST.FLIP_TEST = False
+    cfg.TPU.QUANTIZE_CALIB_BATCHES = 2
+
+    class _Stub:
+        def apply(self, v, x, train=False):
+            pred = np.zeros((64, 85), np.float32)
+            pred[:, 4] = 1e-4
+            pred[0, :4] = (32, 32, 40, 56)
+            pred[0, 4] = 0.95
+            pred[0, 5] = 0.95
+            return jnp.asarray(pred)[None]
+
+    def mk(quantize):
+        eng = FusedDetectPose(cfg, variables, yolo_variant="n",
+                              max_persons=4, det_size=64, topk=16,
+                              quantize=quantize)
+        eng.yolo = _Stub()
+        return eng
+
+    eng_fp = mk(None)
+    eng_q = mk("int8")
+    rng = np.random.default_rng(29)
+    frames = [rng.integers(0, 255, (96, 96, 3)).astype(np.uint8)
+              for _ in range(3)]
+    for f in frames[:2]:                      # calibration frames (bf16)
+        eng_q.infer_frame_low_bw(f)
+    assert eng_q._pose.act_scales is not None
+    assert eng_q._pose._active_model().__class__.__name__ == \
+        "QuantizedModel"
+    out_q = eng_q.infer_frame_low_bw(frames[2])
+    out_fp = eng_fp.infer_frame_low_bw(frames[2])
+    kp_q, kp_fp = np.asarray(out_q["keypoints"]), \
+        np.asarray(out_fp["keypoints"])
+    assert kp_q.shape == kp_fp.shape and kp_q.shape[0] >= 1
+    d = np.abs(kp_q - kp_fp)
+    assert np.median(d) < 1.0, f"low-bw int8 drift median {np.median(d)}"
+
+
 def test_test_cli_quantize_int8(tmp_path):
     """TPU.QUANTIZE int8 through the real tools/test.py subprocess on
     synthetic mini-COCO (the reference CLI surface, quantized)."""

@@ -60,8 +60,14 @@ def parse_args():
                         "calibrating, then convs run w8a8 on the MXU int8 "
                         "path")
     p.add_argument("--act-scales", default="",
-                   help="calibration table (json): load if it exists, else "
-                        "write it there after self-calibration")
+                   help="pose-net calibration table (json): load if it "
+                        "exists, else write it there after "
+                        "self-calibration")
+    p.add_argument("--det-act-scales", default="",
+                   help="detector calibration table (json), same "
+                        "load-or-write semantics; with --quantize int8 "
+                        "and no table the detector self-calibrates on "
+                        "its first letterboxed frames")
     p.add_argument("--save-pose-txt", action="store_true",
                    help="directory mode: write reference-format pose label "
                         "files (x/img_w y/img_h conf per joint, first "
@@ -119,28 +125,37 @@ def main():
               "(detection of frame i+1 behind pose of frame i); "
               f"--pipeline {args.pipeline} runs at depth 2", file=sys.stderr)
     quantize = args.quantize or (cfg.TPU.QUANTIZE or "")
-    if quantize and args.fused and not (
+    if quantize and args.fused and not args.low_bw and not (
             args.act_scales and os.path.exists(args.act_scales)):
         raise SystemExit(
             "--quantize with --fused needs a precomputed calibration "
             "table (--act-scales pointing at an existing json): the "
             "fused graph's crops only exist in-graph, so it cannot "
             "self-calibrate — produce the table with a two-stage run "
-            "(--quantize int8 --act-scales f.json, no --fused) or "
-            "tools/test.py ... TPU.QUANTIZE int8")
+            "(--quantize int8 --act-scales f.json, no --fused), "
+            "tools/test.py ... TPU.QUANTIZE int8, or serve --low-bw "
+            "(which host-crops and self-calibrates)")
+    det_scales = (args.det_act_scales
+                  if args.det_act_scales
+                  and os.path.exists(args.det_act_scales) else None)
     fused = None
     if args.fused:
         from udp_pose_tpu.engine.fused import FusedDetectPose
         from udp_pose_tpu.utils.checkpoint import load_weights
         w = load_weights(args.detector_weights) \
             if args.detector_weights else None
+        pose_scales = (args.act_scales
+                       if args.act_scales
+                       and os.path.exists(args.act_scales) else None)
         fused = FusedDetectPose(
             cfg, args.pose_weights or None,
             yolo_variant=args.detector.replace("yolov5", ""),
             yolo_weights=w, max_persons=args.max_persons,
             conf_thres=args.conf_thres, iou_thres=args.iou_thres,
             person_class=args.person_class,
-            pose_act_scales=args.act_scales if quantize else None)
+            quantize=quantize or None,
+            pose_act_scales=pose_scales if quantize else None,
+            det_act_scales=det_scales if quantize else None)
         pose = fused._pose
     else:
         scales = (args.act_scales
@@ -160,7 +175,9 @@ def main():
         yolo_det = build_flax_yolo_detector(
             variant=variant, weights=w, conf_thres=args.conf_thres,
             iou_thres=args.iou_thres, person_class=args.person_class,
-            max_det=args.max_det)
+            max_det=args.max_det, quantize=quantize or None,
+            act_scales=det_scales,
+            calib_batches=cfg.TPU.QUANTIZE_CALIB_BATCHES)
 
     def boxes_for(frame, path=None):
         if label_det is not None and path is not None:
@@ -343,6 +360,14 @@ def main():
             and not os.path.exists(args.act_scales)):
         pose.save_act_scales(args.act_scales)
         print(f"saved int8 calibration table to {args.act_scales}")
+    if args.det_act_scales and not os.path.exists(args.det_act_scales):
+        got = (fused.det_act_scales if fused is not None else
+               yolo_det.get_act_scales() if yolo_det is not None else None)
+        if got:
+            from udp_pose_tpu.models.quantize import save_act_scales
+            save_act_scales(args.det_act_scales, got)
+            print("saved detector int8 calibration table to "
+                  f"{args.det_act_scales}")
 
 
 if __name__ == "__main__":

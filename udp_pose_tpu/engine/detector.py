@@ -59,7 +59,8 @@ class YoloDetector:
 def build_flax_yolo_detector(variant="n", weights=None, input_size=640,
                              conf_thres=0.25, iou_thres=0.45,
                              person_class=0, max_det=300,
-                             device_topk=1024):
+                             device_topk=1024, quantize=None,
+                             act_scales=None, calib_batches=2):
     """Native YOLOv5 (models/yolov5.py) wrapped as a YoloDetector.
 
     With ``weights=None`` the net is random-initialised (graph-complete;
@@ -70,9 +71,19 @@ def build_flax_yolo_detector(variant="n", weights=None, input_size=640,
     cross to the host for NMS.  Identical results whenever ≤k candidates
     clear ``conf_thres`` (yolov5n on real scenes yields a few hundred);
     0 disables the selection.
+
+    ``quantize='int8'``: int8 PTQ serving (models/quantize.py) for the
+    detector convs (the detect heads stay fp).  ``act_scales`` (dict or
+    json path) is the calibration table; without one the first
+    ``calib_batches`` frames serve fp while recording per-site amax, then
+    the int8 graph takes over — read the frozen table back via
+    ``det.get_act_scales()`` / persist it with ``det.save_act_scales``.
     """
     import jax
     import jax.numpy as jnp
+    from ..models.quantize import (QuantizedModel, collect_conv_amax,
+                                   load_act_scales)
+
     from ..models.yolov5 import YOLOv5
 
     model = YOLOv5(variant=variant)
@@ -81,18 +92,56 @@ def build_flax_yolo_detector(variant="n", weights=None, input_size=640,
         weights = jax.jit(lambda r: model.init(r, dummy, train=False))(
             jax.random.PRNGKey(0))
 
-    @jax.jit
-    def model_fn(x):
-        pred = model.apply(weights, x, train=False)
-        if device_topk:        # single-frame path (B=1)
-            k = min(device_topk, pred.shape[1])
-            _, idx = jax.lax.top_k(pred[0, :, 4], k)
-            pred = pred[0][idx][None]
-        return pred
+    if isinstance(act_scales, str):
+        act_scales = load_act_scales(act_scales)
+    state = {"scales": act_scales, "amax": {}, "seen": 0,
+             "fn_q": None, "collect": None}
 
-    return YoloDetector(model_fn, input_size, conf_thres, iou_thres,
-                        classes=None, person_class=person_class,
-                        max_det=max_det)
+    def make_fn(m):
+        @jax.jit
+        def fn(x):
+            pred = m.apply(weights, x, train=False)
+            if device_topk:        # single-frame path (B=1)
+                k = min(device_topk, pred.shape[1])
+                _, idx = jax.lax.top_k(pred[0, :, 4], k)
+                pred = pred[0][idx][None]
+            return pred
+        return fn
+
+    fn_fp = make_fn(model)
+
+    def model_fn(x):
+        if quantize != "int8":
+            return fn_fp(x)
+        if state["scales"] is None:
+            # calibration phase: record amax, serve this frame fp
+            if state["collect"] is None:
+                state["collect"] = jax.jit(
+                    lambda v, xx: collect_conv_amax(model, v, xx,
+                                                    train=False))
+            got = jax.device_get(state["collect"](weights, x))
+            for k, v in got.items():
+                state["amax"][k] = max(state["amax"].get(k, 0.0), float(v))
+            state["seen"] += 1
+            if state["seen"] >= calib_batches:
+                state["scales"] = dict(state["amax"])
+            return fn_fp(x)
+        if state["fn_q"] is None:
+            state["fn_q"] = make_fn(QuantizedModel(model, state["scales"]))
+        return state["fn_q"](x)
+
+    det = YoloDetector(model_fn, input_size, conf_thres, iou_thres,
+                       classes=None, person_class=person_class,
+                       max_det=max_det)
+    det.get_act_scales = lambda: state["scales"]
+
+    def _save(path):
+        from ..models.quantize import save_act_scales
+        if state["scales"] is None:
+            raise RuntimeError("detector is not calibrated yet")
+        save_act_scales(path, state["scales"])
+    det.save_act_scales = _save
+    return det
 
 
 class LabelBoxDetector:

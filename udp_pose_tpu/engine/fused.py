@@ -38,24 +38,38 @@ class FusedDetectPose:
                  det_size: int = 640, conf_thres: float = 0.25,
                  iou_thres: float = 0.45, topk: int = 512,
                  person_class: int = 0, flip_test: Optional[bool] = None,
-                 mesh=None, pose_act_scales=None):
+                 mesh=None, quantize: Optional[str] = None,
+                 pose_act_scales=None, det_act_scales=None):
         import jax
         import jax.numpy as jnp
 
         from ..models.yolov5 import YOLOv5
         from .pose_engine import UdpPosePipeline
 
-        # reuse the pose pipeline's model build + weight loading.
+        # int8 PTQ serving (models/quantize.py).  Two tables:
         # ``pose_act_scales`` (dict or json path) runs the pose subgraph
-        # in int8 (models/quantize.py) — the fused graph can't lazily
-        # self-calibrate (its crops only exist in-graph), so the table
-        # comes precomputed, e.g. from a UdpPosePipeline/-act-scales run
-        # or tools/test.py TPU.QUANTIZE int8.  Wins on PCIe-class links
-        # where the ~15 ms/frame chip time matters; on the dev tunnel the
-        # frame upload dominates either way (DESIGN.md).
+        # int8 — the single-dispatch graph can't lazily self-calibrate
+        # (its crops only exist in-graph), so the table comes precomputed
+        # (a UdpPosePipeline/--act-scales run or tools/test.py
+        # TPU.QUANTIZE int8); the --low-bw path host-crops its persons
+        # and DOES self-calibrate when ``quantize='int8'`` with no table.
+        # ``det_act_scales`` quantizes the YOLOv5 subgraph; with
+        # ``quantize='int8'`` and no table the engine self-calibrates on
+        # the letterboxed canvas (host-computable in every mode — the
+        # host letterbox is 1-LSB-parity with the in-graph one).  Wins on
+        # PCIe-class links where the ~15 ms/frame chip time matters; on
+        # the dev tunnel the frame upload dominates either way (DESIGN.md).
+        # pose-net int8: explicit quantize= OR a pose table; detector
+        # int8: explicit quantize= OR a det table (a pose-only table must
+        # not silently quantize the detector, and vice versa)
+        self._det_quantize = ("int8" if (quantize == "int8"
+                                         or det_act_scales is not None)
+                              else None)
         self._pose = UdpPosePipeline(
             pose_cfg, pose_weights, flip_test=flip_test,
-            quantize="int8" if pose_act_scales is not None else None,
+            quantize=("int8" if (quantize == "int8"
+                                 or pose_act_scales is not None)
+                      else None),
             act_scales=pose_act_scales)
         self.cfg = self._pose.cfg
         self.num_joints = self._pose.num_joints
@@ -77,7 +91,78 @@ class FusedDetectPose:
                 lambda r: self.yolo.init(r, dummy, train=False))(
                     jax.random.PRNGKey(0))
         self.yolo_vars = yolo_weights
+        if isinstance(det_act_scales, str):
+            from ..models.quantize import load_act_scales
+            det_act_scales = load_act_scales(det_act_scales)
+        self._det_scales = det_act_scales
+        self._det_amax = {}
+        self._det_seen = 0
+        self._det_collect = None        # jitted amax pass, per canvas shape
+        self._calib_batches = self.cfg.TPU.QUANTIZE_CALIB_BATCHES
         self._runs = {}   # (H, W) -> jitted graph
+
+    # ----------------------------------------------------- detector int8
+
+    def _active_yolo(self):
+        """YOLOv5 module, wrapped int8 (models/quantize.py) once a
+        detector calibration table exists — the detect-head convs stay fp
+        via DEFAULT_SKIP ("detect*")."""
+        if self._det_quantize == "int8" and self._det_scales is not None:
+            from ..models.quantize import QuantizedModel
+            return QuantizedModel(self.yolo, self._det_scales)
+        return self.yolo
+
+    @property
+    def det_act_scales(self):
+        """Detector calibration table (None until calibrated)."""
+        return self._det_scales
+
+    def save_det_act_scales(self, path):
+        from ..models.quantize import save_act_scales
+        if self._det_scales is None:
+            raise RuntimeError("detector is not calibrated yet")
+        save_act_scales(path, self._det_scales)
+
+    def _det_calibrating(self) -> bool:
+        return self._det_quantize == "int8" and self._det_scales is None
+
+    def _calibrate_det(self, canvas_u8):
+        """Record per-conv amax of one letterboxed canvas (served fp
+        meanwhile); after ``TPU.QUANTIZE_CALIB_BATCHES`` canvases the
+        table freezes and the fp-traced graphs are dropped so the next
+        build traces the int8 detector.  The canvas is host-computable in
+        every serving mode (``_letterbox_host`` is 1-LSB-parity with the
+        in-graph letterbox), which is what makes the detector — unlike
+        the single-dispatch pose subgraph — self-calibratable."""
+        import jax
+        from ..models.quantize import collect_conv_amax
+        if self._det_collect is None:
+            self._det_collect = jax.jit(
+                lambda v, c: collect_conv_amax(
+                    self.yolo, v, c.astype("float32")[None] / 255.0,
+                    train=False))
+        got = jax.device_get(self._det_collect(self.yolo_vars, canvas_u8))
+        for k, v in got.items():
+            self._det_amax[k] = max(self._det_amax.get(k, 0.0), float(v))
+        self._det_seen += 1
+        if self._det_seen >= self._calib_batches:
+            self._det_scales = dict(self._det_amax)
+            for k in [k for k in self._runs
+                      if not (isinstance(k, tuple) and k
+                              and k[0] == "pose_lowbw")]:
+                del self._runs[k]
+
+    def _require_pose_calibrated(self, mode: str):
+        if (self._pose.quantize == "int8"
+                and self._pose.act_scales is None):
+            raise RuntimeError(
+                f"int8 pose serving via {mode} needs a precomputed "
+                "calibration table (pose_act_scales=...): the "
+                "single-dispatch graph's crops only exist in-graph, so "
+                "it cannot self-calibrate — produce the table with a "
+                "UdpPosePipeline/--act-scales run, tools/test.py ... "
+                "TPU.QUANTIZE int8, or serve --low-bw (which host-crops "
+                "and self-calibrates)")
 
     # ------------------------------------------------------------ graph
 
@@ -173,7 +258,8 @@ class FusedDetectPose:
             img = jnp.pad(img, ((top, bottom), (left, right), (0, 0)),
                           constant_values=114.0)
             x_det = img[None] / 255.0
-            pred = self.yolo.apply(yolo_vars, x_det, train=False)[0]
+            pred = self._active_yolo().apply(yolo_vars, x_det,
+                                             train=False)[0]
             # best-class person filter → top-k → NMS → frame coords
             # (boxes.py:78-92, :38-50) + ±5 px pad
             out_boxes, sc, valid = self._det_post(jnp, jax, pred, geom,
@@ -216,7 +302,8 @@ class FusedDetectPose:
 
         def run_det(yolo_vars, canvas_u8):
             x_det = canvas_u8.astype(jnp.float32)[None] / 255.0
-            pred = self.yolo.apply(yolo_vars, x_det, train=False)[0]
+            pred = self._active_yolo().apply(yolo_vars, x_det,
+                                             train=False)[0]
             return self._det_post(jnp, jax, pred, geom, H, W)
 
         return jax.jit(run_det)
@@ -307,6 +394,10 @@ class FusedDetectPose:
         Returns (det_handle, canvas_bytes)."""
         H, W = frame.shape[:2]
         canvas = self._letterbox_host(frame)
+        if self._det_calibrating():
+            # record amax on this canvas; the frame still serves through
+            # the (fp-traced) graph below until the table freezes
+            self._calibrate_det(canvas)
         det = self._runs.get(("det", H, W))
         if det is None:
             det = self._runs[("det", H, W)] = self._build_det_lowbw(H, W)
@@ -346,6 +437,19 @@ class FusedDetectPose:
         crops = warp_affine_batch(np.ascontiguousarray(frame), mats,
                                   (ph, pw))
         crops_u8 = np.clip(np.rint(crops), 0, 255).astype(np.uint8)
+
+        if (self._pose.quantize == "int8"
+                and self._pose.act_scales is None):
+            # --low-bw self-calibration: these crops exist host-side, so
+            # feed them to the pose engine's amax collector and serve this
+            # frame bf16; once the table freezes, drop the fp-traced pose
+            # graphs so the next bucket build traces the int8 model
+            self._pose.calibrate_crops(crops_u8)
+            if self._pose.act_scales is not None:
+                for k in [k for k in self._runs
+                          if isinstance(k, tuple) and k
+                          and k[0] == "pose_lowbw"]:
+                    del self._runs[k]
 
         pose = self._runs.get(("pose_lowbw", bucket))
         if pose is None:
@@ -417,6 +521,9 @@ class FusedDetectPose:
         overlaps the device compute + readback of frame i — the overlap
         the reference's strictly sequential loop
         (inference_engine.py:360-384) cannot express."""
+        self._require_pose_calibrated("submit_frame/infer_frame")
+        if self._det_calibrating():
+            self._calibrate_det(self._letterbox_host(frame))
         H, W = frame.shape[:2]
         run = self._runs.get((H, W))
         if run is None:
@@ -450,6 +557,13 @@ class FusedDetectPose:
         import jax
         frames = np.asarray(frames)
         n_frames = frames.shape[0]
+        self._require_pose_calibrated("infer_frames")
+        while self._det_calibrating():
+            # offline-video warmup: calibrate the detector on the chunk's
+            # leading frames (cycling if the chunk is shorter than the
+            # calibration budget), then dispatch the whole chunk int8
+            self._calibrate_det(self._letterbox_host(
+                frames[self._det_seen % n_frames]))
         if self.mesh is not None:
             # pad the chunk to a data-axis-divisible frame count
             n_data = self.mesh.shape["data"]

@@ -81,6 +81,7 @@ class UdpPosePipeline:
         self._calib_seen = 0
         self._amax = {}
         self._collect = None
+        self._collect_crops = None
         self._prep = None
         self._infer_fp = None           # bf16 graph used while calibrating
         # ONE jitted closure; jax.jit caches per padded-bucket shape
@@ -101,6 +102,16 @@ class UdpPosePipeline:
             raise RuntimeError("engine is not calibrated yet")
         save_act_scales(path, self.act_scales)
 
+    def _merge_amax(self, got):
+        """Fold one collected batch into the running table; freeze into
+        ``act_scales`` (switching the engine to int8) after
+        ``calib_batches`` batches."""
+        for k, v in got.items():
+            self._amax[k] = max(self._amax.get(k, 0.0), float(v))
+        self._calib_seen += 1
+        if self._calib_seen >= self.calib_batches:
+            self.act_scales = dict(self._amax)
+
     def _calibrate_step(self, frame, center_p, scale_p):
         """Record per-conv amax on this (bf16-served) batch; switch the
         engine to int8 once ``calib_batches`` batches were seen."""
@@ -112,12 +123,25 @@ class UdpPosePipeline:
             self._collect = jax.jit(lambda v, x: collect_conv_amax(
                 self.model, v, x, train=False))
         x = self._prep(frame, center_p, scale_p)
-        got = jax.device_get(self._collect(self.variables, x))
-        for k, v in got.items():
-            self._amax[k] = max(self._amax.get(k, 0.0), float(v))
-        self._calib_seen += 1
-        if self._calib_seen >= self.calib_batches:
-            self.act_scales = dict(self._amax)
+        self._merge_amax(jax.device_get(self._collect(self.variables, x)))
+
+    def calibrate_crops(self, crops_u8):
+        """Record per-conv amax from an ALREADY-CROPPED u8 person batch.
+
+        The fused engine's --low-bw serving path builds its pose crops on
+        the host (native OpenMP warp), so — unlike the single-dispatch
+        fused graph, whose crops only exist in-graph — it CAN
+        self-calibrate; it feeds each warmup batch here while serving it
+        bf16, then switches to int8 like infer_pose does."""
+        import jax
+        from ..core.train import normalize_images
+        from ..models.quantize import collect_conv_amax
+        if self._collect_crops is None:
+            self._collect_crops = jax.jit(
+                lambda v, x: collect_conv_amax(
+                    self.model, v, normalize_images(x), train=False))
+        self._merge_amax(jax.device_get(
+            self._collect_crops(self.variables, crops_u8)))
 
     def _load_weights(self, weights):
         import jax

@@ -33,9 +33,11 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-# Keep the output head in fp by default: its cost is negligible and the
-# sub-pixel decode (DARK Taylor / UDP offset) reads its values directly.
-DEFAULT_SKIP = ("final_layer", "*final*", "*attn*", "*deattn*")
+# Keep the output heads in fp by default: their cost is negligible and
+# downstream consumers read their values directly — the sub-pixel decode
+# (DARK Taylor / UDP offset) for pose nets, the box/objectness decode for
+# the YOLOv5 detector ("detect*", models/yolov5.py:166).
+DEFAULT_SKIP = ("final_layer", "*final*", "*attn*", "*deattn*", "detect*")
 
 
 def _is_plain_conv(mod) -> bool:
