@@ -31,6 +31,36 @@ def log(*a):
 
 
 def main():
+    # The skeleton is armed BEFORE backend init / first compile so a driver
+    # SIGTERM mid-compile — or a dead TPU tunnel — still records one JSON
+    # line (value 0 + error/partial marks it as a failed run, not a perf
+    # regression).
+    result = {
+        "metric": "crops_per_sec_per_chip_hrnet_w32_256x192_fliptest",
+        "value": 0.0,
+        "unit": "crops/s",
+        "vs_baseline": 0.0,
+        "partial": True,
+    }
+    _arm_emergency_dump(result)
+    # Global self-deadline (never canceled): if the whole bench exceeds it
+    # — e.g. the tunnel dies mid-compile, where neither SIGTERM nor SIGALRM
+    # can be processed (native-blocked main thread) — dump whatever metrics
+    # were collected so far and exit, instead of being SIGKILLed silently.
+    import os
+    _arm_watchdog(result, int(os.environ.get("BENCH_DEADLINE_S", 5400)),
+                  "bench self-deadline exceeded (hung mid-run?)")
+    try:
+        _run(result)
+    except Exception as e:                    # e.g. TPU backend unavailable
+        result["error"] = repr(e)[:300]
+        log(f"bench failed: {e!r}")
+    if not _DUMPED["done"]:
+        print(json.dumps(result), flush=True)
+        _DUMPED["done"] = True
+
+
+def _run(result):
     import jax
     import jax.numpy as jnp
 
@@ -38,7 +68,7 @@ def main():
     from udp_pose_tpu.core.infer import make_infer_fn
     from udp_pose_tpu.models import build_model
 
-    dev = jax.devices()[0]
+    dev = _devices_with_watchdog(jax, result)[0]
     log(f"device: {dev}")
 
     cfg = _hrnet_w32_cfg((192, 256), (48, 64), dtype="bfloat16")
@@ -83,10 +113,8 @@ def main():
         if cps > best:
             best, best_batch = cps, batch
 
-    result = {
-        "metric": "crops_per_sec_per_chip_hrnet_w32_256x192_fliptest",
+    result.update({
         "value": round(best, 1),
-        "unit": "crops/s",
         "vs_baseline": round(best / A100_EST_CROPS_PER_SEC, 3),
         "batch": best_batch,
         "notes": "full pipeline: normalize + fwd(2B folded flip) + unflip + "
@@ -94,10 +122,10 @@ def main():
                  "est. 350 crops/s PyTorch-A100 fp32 (target >5x => 5.0); "
                  "train = HRNet-w32 offset fwd+bwd+adam @ B=128 (knee; "
                  "DESIGN.md); engine = fused detect+pose on 720p",
-    }
-    # Headline is safe from here: a driver timeout (SIGTERM) or a failed
-    # secondary bench still records it.
-    _arm_emergency_dump(result)
+    })
+    # Headline measured; a driver timeout (SIGTERM) or a failed secondary
+    # bench from here still records a complete headline.
+    result.pop("partial", None)
 
     # ---- training-step throughput (fwd+bwd+adam, offset loss) -----------
     try:
@@ -169,9 +197,6 @@ def main():
         _out, err = proc.communicate()
         log(f"scaling child failed: {e!r}; stderr tail: {err[-500:]}")
 
-    print(json.dumps(result), flush=True)
-    _DUMPED["done"] = True
-
 
 def _zoo_cfg(yaml_name):
     """Canonical shipped config → bench config (bf16 compute)."""
@@ -221,12 +246,14 @@ def bench_family(jax, jnp, cfg, batch, iters=(6, 18), flip=True,
         lambda r: model.init(r, jnp.zeros((1, h, w, 3)), train=False)
     )(jax.random.PRNGKey(0))
     if quantize:
-        from udp_pose_tpu.core.train import normalize_images
+        from udp_pose_tpu.core.infer import serving_normalizer
         from udp_pose_tpu.models.quantize import QuantizedModel, calibrate
+        normalize_images = serving_normalizer(cfg)
         cal = np.random.default_rng(4).integers(
             0, 256, (32, h, w, 3)).astype(np.uint8)
         scales = calibrate(model, variables, [normalize_images(cal)])
         model = QuantizedModel(model, scales)
+        variables = model.prepare_variables(variables)
     if cfg.MODEL.NAME == "rsn":
         from udp_pose_tpu.core.infer import COCO_FLIP_PAIRS
         from udp_pose_tpu.core.rsn import make_rsn_infer_fn
@@ -263,6 +290,46 @@ def bench_family(jax, jnp, cfg, batch, iters=(6, 18), flip=True,
     log(f"{cfg.MODEL.NAME} {w}x{h} B={batch}: {cps:.1f} crops/s "
         f"({per_iter * 1e3:.2f} ms/it)")
     return cps
+
+
+def _arm_watchdog(result, seconds, tag):
+    """Daemon-thread watchdog: after ``seconds``, print ``result`` (plus
+    the ``tag`` error) as the one JSON line and hard-exit.
+
+    A THREAD, not SIGALRM/SIGTERM: a dead axon tunnel blocks backend init
+    (and remote compiles) inside a native call, and Python signal handlers
+    only run between main-thread bytecodes — measured here: a hung
+    ``jax.devices()`` ignored both SIGALRM and ``timeout``'s SIGTERM
+    indefinitely.  The timer thread still runs (the RPC wait releases the
+    GIL) and ``os._exit`` needs no cooperation from the stuck main thread.
+    Returns a cancel() for the success path."""
+    import os
+    import threading
+
+    def fire():
+        if not _DUMPED["done"]:
+            result.setdefault("error", tag)
+            result.setdefault("partial", True)
+            print(json.dumps(result), flush=True)
+            _DUMPED["done"] = True
+        os._exit(1)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t.cancel
+
+
+def _devices_with_watchdog(jax, result, timeout_s=300):
+    """`jax.devices()` bounded by a watchdog thread: a healthy backend
+    initializes in seconds; a dead tunnel hangs forever in native code."""
+    cancel = _arm_watchdog(
+        result, timeout_s,
+        f"TPU backend init exceeded {timeout_s}s (tunnel down?)")
+    try:
+        return jax.devices()
+    finally:
+        cancel()
 
 
 _DUMPED = {"done": False}

@@ -190,6 +190,96 @@ def test_zoo_quantizes_without_model_changes(family):
         f"{family}: rel err {np.abs(flat_q - flat_fp).max() / denom}"
 
 
+def test_rsn_heatmap_convs_stay_fp():
+    """RSN's per-unit heatmap producers (res_conv2, models/rsn.py:233)
+    feed the gaussian-blur quarter-offset decode directly — DEFAULT_SKIP
+    must keep them fp both at calibration and at apply time."""
+    cfg = default_config()
+    cfg.TPU.DTYPE = "float32"
+    cfg.MODEL.NAME = "rsn"
+    cfg.MODEL.IMAGE_SIZE = [96, 128]
+    cfg.MODEL.HEATMAP_SIZE = [24, 32]
+    cfg.MODEL.EXTRA.STAGE_NUM = 2
+    cfg.MODEL.EXTRA.UPSAMPLE_CHANNEL_NUM = 64
+    model = build_model(cfg)
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.normal(0, 1, (2, 128, 96, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(5), x, train=False)
+    scales = calibrate(model, variables, [x])
+    assert len(scales) > 10
+    assert not any("res_conv2" in k for k in scales)
+    # even a table that FORCES the sites in (skip=() calibration) must
+    # not engage them at apply time — QuantizedModel re-applies the skip
+    from udp_pose_tpu.models.quantize import collect_conv_amax
+    forced = {k: float(v) for k, v in jax.device_get(
+        collect_conv_amax(model, variables, x, train=False)).items()}
+    assert any("res_conv2" in k for k in forced)
+    qm = QuantizedModel(model, forced)
+    qm.apply(variables, x, train=False)
+    assert not any("res_conv2" in p for p in qm.engaged)
+    assert len(qm.engaged) > 10
+
+
+def test_prepare_variables_equal_and_idempotent(trained):
+    """prepare_variables precomputes the per-channel int8 kernels once
+    (a 'quant' collection) — the serving output must match the in-graph
+    requant path (same math hoisted out of the step; not bitwise — XLA
+    reassociates the kernel/scale divide differently across the two
+    compilations, flipping the odd boundary weight by one int8 step),
+    and preparing twice must be a no-op."""
+    cfg, model, variables, images, _ = trained
+    x = jnp.asarray(normalize_images(images))
+    scales = calibrate(model, variables, [x])
+    qm = QuantizedModel(model, scales)
+
+    y_ingraph = qm.apply(variables, x, train=False)
+    prepped = qm.prepare_variables(variables)
+    assert "quant" in prepped
+    assert qm.prepare_variables(prepped) is prepped      # idempotent
+    y_prep = qm.apply(prepped, x, train=False)
+    np.testing.assert_allclose(np.asarray(y_ingraph), np.asarray(y_prep),
+                               rtol=0, atol=1e-3)
+    # every engaged site got a prepared entry (none silently missing)
+    qm2 = QuantizedModel(model, scales)
+    qm2.apply(prepped, x, train=False)
+
+    def paths(node, prefix=""):
+        if "kernel_i8" in node:
+            yield prefix.rstrip("/")
+            return
+        for k, v in node.items():
+            yield from paths(v, prefix + k + "/")
+
+    prepared_paths = set(paths(prepped["quant"]))
+    assert qm2.engaged <= prepared_paths
+    assert len(prepared_paths) == len(scales)
+
+
+def test_serving_normalizer_matches_family():
+    """int8 calibration must use the serving path's normalization: RSN's
+    BGR constants differ from the ImageNet RGB ones (tools/test.py
+    TPU.QUANTIZE calibrates through serving_normalizer)."""
+    from udp_pose_tpu.core.infer import serving_normalizer
+    from udp_pose_tpu.core.rsn import _rsn_normalize
+
+    rsn_cfg = default_config()
+    rsn_cfg.MODEL.NAME = "rsn"
+    hr_cfg = default_config()
+    hr_cfg.MODEL.NAME = "pose_hrnet"
+
+    x = np.random.default_rng(0).integers(
+        0, 256, (2, 8, 8, 3)).astype(np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(serving_normalizer(rsn_cfg)(x)),
+        np.asarray(_rsn_normalize(x)))
+    np.testing.assert_array_equal(
+        np.asarray(serving_normalizer(hr_cfg)(x)),
+        np.asarray(normalize_images(x)))
+    # the two distributions genuinely differ — the bug this guards against
+    assert np.abs(np.asarray(_rsn_normalize(x))
+                  - np.asarray(normalize_images(x))).max() > 0.05
+
+
 def test_quantized_conv_math_exact_vs_fp_oracle():
     """The interceptor's int8 conv (incl. grouped/depthwise, stride,
     explicit padding, bias) must equal an fp32 conv over the *dequantized*
@@ -266,7 +356,7 @@ def test_pipeline_lazy_int8_calibration(tmp_path):
     boxes = np.array([[40, 30, 140, 200], [160, 40, 280, 220]], np.float32)
 
     kps1, _ = pipe.infer_pose(frame, boxes)          # calib batch 1 (bf16)
-    assert pipe.act_scales is None and pipe._calib_seen == 1
+    assert pipe.act_scales is None and pipe._calib.seen == 1
     kps2, _ = pipe.infer_pose(frame, boxes)          # calib batch 2 → freeze
     assert pipe.act_scales is not None
     kps3, mv3 = pipe.infer_pose(frame, boxes)        # served int8
@@ -282,7 +372,7 @@ def test_pipeline_lazy_int8_calibration(tmp_path):
     pipe2 = UdpPosePipeline(cfg, weights=base.variables,
                             quantize="int8", act_scales=p)
     kps4, _ = pipe2.infer_pose(frame, boxes)
-    assert pipe2._calib_seen == 0
+    assert pipe2._calib.seen == 0
     np.testing.assert_allclose(kps4, kps3, atol=1e-4)
 
 
@@ -493,6 +583,85 @@ def test_lowbw_pose_self_calibration(trained):
     assert kp_q.shape == kp_fp.shape and kp_q.shape[0] >= 1
     d = np.abs(kp_q - kp_fp)
     assert np.median(d) < 1.0, f"low-bw int8 drift median {np.median(d)}"
+
+
+def test_fused_cfg_quantize_applies_to_both_subgraphs(trained):
+    """A TPU.QUANTIZE int8 yaml must behave the same through
+    FusedDetectPose as through the two-stage pipeline: BOTH subgraphs
+    quantize (the detector self-calibrates; the pose side needs a table
+    or --low-bw) — and quantize='' is an explicit off overriding cfg."""
+    from udp_pose_tpu.engine.fused import FusedDetectPose
+    cfg, model, variables, images, _ = trained
+    cfg = cfg.clone()
+    cfg.DATASET.DATASET = "coco"
+    cfg.TEST.FLIP_TEST = False
+    cfg.TPU.QUANTIZE = "int8"
+
+    eng = FusedDetectPose(cfg, variables, yolo_variant="n",
+                          max_persons=4, det_size=64, topk=16)
+    assert eng._pose.quantize == "int8"
+    assert eng._det_quantize == "int8"
+
+    eng_off = FusedDetectPose(cfg, variables, yolo_variant="n",
+                              max_persons=4, det_size=64, topk=16,
+                              quantize="")
+    assert eng_off._pose.quantize == ""
+    assert eng_off._det_quantize is None
+
+    # a pose-only table must still not quantize the detector when the
+    # cfg does not ask for int8
+    cfg_fp = cfg.clone()
+    cfg_fp.TPU.QUANTIZE = ""
+    scales = calibrate(model, variables,
+                       [jnp.asarray(normalize_images(images))])
+    eng_pose_only = FusedDetectPose(cfg_fp, variables, yolo_variant="n",
+                                    max_persons=4, det_size=64, topk=16,
+                                    pose_act_scales=dict(scales))
+    assert eng_pose_only._pose.quantize == "int8"
+    assert eng_pose_only._det_quantize is None
+
+
+def test_detector_table_implies_int8(tmp_path):
+    """build_flax_yolo_detector(act_scales=...) without quantize= must
+    serve int8 (a provided table IS the request) — bit-equal to the
+    explicit quantize='int8' detector, same gating as FusedDetectPose."""
+    from udp_pose_tpu.engine.detector import build_flax_yolo_detector
+
+    kw = dict(variant="n", input_size=64, device_topk=0)
+    det_cal = build_flax_yolo_detector(quantize="int8", calib_batches=1,
+                                       **kw)
+    rng = np.random.default_rng(31)
+    xs = [rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+          for _ in range(2)]
+    det_cal.model_fn(xs[0])                      # calibrates + freezes
+    path = str(tmp_path / "det.json")
+    det_cal.save_act_scales(path)
+
+    det_implied = build_flax_yolo_detector(act_scales=path, **kw)
+    det_explicit = build_flax_yolo_detector(quantize="int8",
+                                            act_scales=path, **kw)
+    np.testing.assert_array_equal(np.asarray(det_implied.model_fn(xs[1])),
+                                  np.asarray(det_explicit.model_fn(xs[1])))
+
+
+def test_infer_frames_empty_chunk(trained):
+    """An empty frame chunk must return [] — including while a quantized
+    detector is still calibrating (was a ZeroDivisionError)."""
+    from udp_pose_tpu.engine.fused import FusedDetectPose
+    cfg, model, variables, images, _ = trained
+    cfg = cfg.clone()
+    cfg.DATASET.DATASET = "coco"
+    cfg.TEST.FLIP_TEST = False
+
+    scales = calibrate(model, variables,
+                       [jnp.asarray(normalize_images(images))])
+    eng = FusedDetectPose(cfg, variables, yolo_variant="n",
+                          max_persons=4, det_size=64, topk=16,
+                          quantize="int8", pose_act_scales=dict(scales))
+    assert eng._det_calibrating()
+    empty = np.zeros((0, 96, 96, 3), np.uint8)
+    assert eng.infer_frames(empty) == []
+    assert eng._det_calibrating()        # nothing to calibrate on
 
 
 def test_test_cli_quantize_int8(tmp_path):

@@ -22,6 +22,19 @@ from .train import normalize_images
 # COCO flip pairs (deep_hrnet/lib/dataset/coco.py:91-92)
 COCO_FLIP_PAIRS = ((1, 2), (3, 4), (5, 6), (7, 8), (9, 10), (11, 12),
                    (13, 14), (15, 16))
+
+
+def serving_normalizer(cfg):
+    """The normalization the serving path applies to raw u8 crops for
+    ``cfg``'s model family.  int8 calibration (TPU.QUANTIZE) must measure
+    activation amax on the SAME input distribution serving feeds the net:
+    RSN normalizes with its BGR constants (core/rsn._rsn_normalize,
+    matching RSN/dataset/JointsDataset.py), everything else with the
+    ImageNet RGB ones (normalize_images)."""
+    if cfg.MODEL.NAME == "rsn":
+        from .rsn import _rsn_normalize
+        return _rsn_normalize
+    return normalize_images
 # MPII flip pairs (deep_hrnet/lib/dataset/mpii.py)
 MPII_FLIP_PAIRS = ((0, 5), (1, 4), (2, 3), (10, 15), (11, 14), (12, 13))
 

@@ -27,7 +27,7 @@ from ..ops.yolo import (letterbox, non_max_suppression, padding_bbox,
 class YoloDetector:
     def __init__(self, model_fn: Callable, input_size=640, conf_thres=0.25,
                  iou_thres=0.45, classes: Optional[Sequence[int]] = None,
-                 person_class=0, max_det=300):
+                 person_class=0, max_det=300, agnostic_nms=False, padding=5):
         self.model_fn = model_fn
         self.input_size = input_size
         self.conf_thres = conf_thres
@@ -35,6 +35,8 @@ class YoloDetector:
         self.classes = classes
         self.person_class = person_class
         self.max_det = max_det
+        self.agnostic_nms = agnostic_nms
+        self.padding = padding
 
     def infer(self, image) -> Optional[np.ndarray]:
         """image (H, W, 3) uint8 → (N, 4) person xyxy boxes or None."""
@@ -43,6 +45,7 @@ class YoloDetector:
         pred = np.asarray(self.model_fn(x))
         det = non_max_suppression(pred, self.conf_thres, self.iou_thres,
                                   classes=self.classes,
+                                  agnostic=self.agnostic_nms,
                                   max_det=self.max_det)[0]
         if not len(det):
             return None
@@ -52,7 +55,8 @@ class YoloDetector:
             if cls != self.person_class:
                 continue
             x1, y1, x2, y2 = (int(v) for v in box)
-            persons.append(padding_bbox(x1, y1, x2, y2, image.shape))
+            persons.append(padding_bbox(x1, y1, x2, y2, image.shape,
+                                        self.padding))
         return np.asarray(persons, np.float32) if persons else None
 
 
@@ -60,7 +64,8 @@ def build_flax_yolo_detector(variant="n", weights=None, input_size=640,
                              conf_thres=0.25, iou_thres=0.45,
                              person_class=0, max_det=300,
                              device_topk=1024, quantize=None,
-                             act_scales=None, calib_batches=2):
+                             act_scales=None, calib_batches=2,
+                             classes=None, agnostic_nms=False, padding=5):
     """Native YOLOv5 (models/yolov5.py) wrapped as a YoloDetector.
 
     With ``weights=None`` the net is random-initialised (graph-complete;
@@ -81,8 +86,8 @@ def build_flax_yolo_detector(variant="n", weights=None, input_size=640,
     """
     import jax
     import jax.numpy as jnp
-    from ..models.quantize import (QuantizedModel, collect_conv_amax,
-                                   load_act_scales)
+    from ..models.quantize import (Calibrator, QuantizedModel,
+                                   collect_conv_amax, load_act_scales_maybe)
 
     from ..models.yolov5 import YOLOv5
 
@@ -92,15 +97,19 @@ def build_flax_yolo_detector(variant="n", weights=None, input_size=640,
         weights = jax.jit(lambda r: model.init(r, dummy, train=False))(
             jax.random.PRNGKey(0))
 
-    if isinstance(act_scales, str):
-        act_scales = load_act_scales(act_scales)
-    state = {"scales": act_scales, "amax": {}, "seen": 0,
+    act_scales = load_act_scales_maybe(act_scales)
+    if quantize is None and act_scales is not None:
+        # a provided table IS the int8 request — same gating as
+        # FusedDetectPose(det_act_scales=...), so the two engines never
+        # serve different numeric paths from the same inputs
+        quantize = "int8"
+    state = {"scales": act_scales, "calib": Calibrator(calib_batches),
              "fn_q": None, "collect": None}
 
-    def make_fn(m):
+    def make_fn(m, w=weights):
         @jax.jit
         def fn(x):
-            pred = m.apply(weights, x, train=False)
+            pred = m.apply(w, x, train=False)
             if device_topk:        # single-frame path (B=1)
                 k = min(device_topk, pred.shape[1])
                 _, idx = jax.lax.top_k(pred[0, :, 4], k)
@@ -120,19 +129,20 @@ def build_flax_yolo_detector(variant="n", weights=None, input_size=640,
                     lambda v, xx: collect_conv_amax(model, v, xx,
                                                     train=False))
             got = jax.device_get(state["collect"](weights, x))
-            for k, v in got.items():
-                state["amax"][k] = max(state["amax"].get(k, 0.0), float(v))
-            state["seen"] += 1
-            if state["seen"] >= calib_batches:
-                state["scales"] = dict(state["amax"])
+            if state["calib"].update(got):
+                state["scales"] = state["calib"].table()
             return fn_fp(x)
         if state["fn_q"] is None:
-            state["fn_q"] = make_fn(QuantizedModel(model, state["scales"]))
+            qm = QuantizedModel(model, state["scales"])
+            # pre-quantize the kernels once — the serving graph then
+            # consumes int8 weights instead of requantizing per frame
+            state["fn_q"] = make_fn(qm, qm.prepare_variables(weights))
         return state["fn_q"](x)
 
     det = YoloDetector(model_fn, input_size, conf_thres, iou_thres,
-                       classes=None, person_class=person_class,
-                       max_det=max_det)
+                       classes=classes, person_class=person_class,
+                       max_det=max_det, agnostic_nms=agnostic_nms,
+                       padding=padding)
     det.get_act_scales = lambda: state["scales"]
 
     def _save(path):

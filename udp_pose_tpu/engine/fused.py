@@ -39,7 +39,7 @@ class FusedDetectPose:
                  iou_thres: float = 0.45, topk: int = 512,
                  person_class: int = 0, flip_test: Optional[bool] = None,
                  mesh=None, quantize: Optional[str] = None,
-                 pose_act_scales=None, det_act_scales=None):
+                 pose_act_scales=None, det_act_scales=None, padding: int = 5):
         import jax
         import jax.numpy as jnp
 
@@ -59,19 +59,23 @@ class FusedDetectPose:
         # host letterbox is 1-LSB-parity with the in-graph one).  Wins on
         # PCIe-class links where the ~15 ms/frame chip time matters; on
         # the dev tunnel the frame upload dominates either way (DESIGN.md).
-        # pose-net int8: explicit quantize= OR a pose table; detector
-        # int8: explicit quantize= OR a det table (a pose-only table must
-        # not silently quantize the detector, and vice versa)
+        # pose-net int8: explicit quantize= OR a pose table OR
+        # cfg.TPU.QUANTIZE; detector int8: explicit quantize= OR a det
+        # table OR cfg.TPU.QUANTIZE (a pose-only table must not silently
+        # quantize the detector, and vice versa; the cfg fallback applies
+        # to BOTH subgraphs so a TPU.QUANTIZE yaml behaves the same here
+        # as in the two-stage pipeline; quantize="" is an explicit off
+        # that overrides the cfg).
+        self._pose = UdpPosePipeline(
+            pose_cfg, pose_weights, flip_test=flip_test,
+            quantize=("int8" if pose_act_scales is not None else quantize),
+            act_scales=pose_act_scales)
+        self.cfg = self._pose.cfg
+        if quantize is None:
+            quantize = self.cfg.TPU.QUANTIZE or None
         self._det_quantize = ("int8" if (quantize == "int8"
                                          or det_act_scales is not None)
                               else None)
-        self._pose = UdpPosePipeline(
-            pose_cfg, pose_weights, flip_test=flip_test,
-            quantize=("int8" if (quantize == "int8"
-                                 or pose_act_scales is not None)
-                      else None),
-            act_scales=pose_act_scales)
-        self.cfg = self._pose.cfg
         self.num_joints = self._pose.num_joints
         self.skeleton = self._pose.skeleton
         self.max_persons = max_persons
@@ -80,6 +84,9 @@ class FusedDetectPose:
         self.iou_thres = iou_thres
         self.topk = topk
         self.person_class = person_class
+        #: ±px box padding before the pose crop (inference_engine.py
+        #: --padding, default 5; applied in-graph at scale-back)
+        self.padding = padding
         #: optional jax.sharding.Mesh — video chunks shard frames over the
         #: 'data' axis in infer_frames (weights replicated)
         self.mesh = mesh
@@ -91,26 +98,34 @@ class FusedDetectPose:
                 lambda r: self.yolo.init(r, dummy, train=False))(
                     jax.random.PRNGKey(0))
         self.yolo_vars = yolo_weights
-        if isinstance(det_act_scales, str):
-            from ..models.quantize import load_act_scales
-            det_act_scales = load_act_scales(det_act_scales)
-        self._det_scales = det_act_scales
-        self._det_amax = {}
-        self._det_seen = 0
+        from ..models.quantize import Calibrator, load_act_scales_maybe
+        self._det_scales = load_act_scales_maybe(det_act_scales)
+        self._det_calib = Calibrator(self.cfg.TPU.QUANTIZE_CALIB_BATCHES)
         self._det_collect = None        # jitted amax pass, per canvas shape
-        self._calib_batches = self.cfg.TPU.QUANTIZE_CALIB_BATCHES
         self._runs = {}   # (H, W) -> jitted graph
+        self._maybe_prepare_det()       # det table provided up-front
 
     # ----------------------------------------------------- detector int8
 
     def _active_yolo(self):
         """YOLOv5 module, wrapped int8 (models/quantize.py) once a
         detector calibration table exists — the detect-head convs stay fp
-        via DEFAULT_SKIP ("detect*")."""
+        via DEFAULT_SKIP ("detect*").  (Called at TRACE time from inside
+        the fused graphs — must not mutate engine state; weight
+        preparation happens in _maybe_prepare_det at freeze/init.)"""
         if self._det_quantize == "int8" and self._det_scales is not None:
             from ..models.quantize import QuantizedModel
             return QuantizedModel(self.yolo, self._det_scales)
         return self.yolo
+
+    def _maybe_prepare_det(self):
+        """Once a detector table exists, pre-quantize the YOLOv5 kernels
+        (prepare_variables) so the serving graphs skip the per-forward
+        requant pass.  Runs OUTSIDE any trace (freeze / __init__)."""
+        if self._det_quantize == "int8" and self._det_scales is not None:
+            from ..models.quantize import QuantizedModel
+            self.yolo_vars = QuantizedModel(
+                self.yolo, self._det_scales).prepare_variables(self.yolo_vars)
 
     @property
     def det_act_scales(self):
@@ -142,11 +157,9 @@ class FusedDetectPose:
                     self.yolo, v, c.astype("float32")[None] / 255.0,
                     train=False))
         got = jax.device_get(self._det_collect(self.yolo_vars, canvas_u8))
-        for k, v in got.items():
-            self._det_amax[k] = max(self._det_amax.get(k, 0.0), float(v))
-        self._det_seen += 1
-        if self._det_seen >= self._calib_batches:
-            self._det_scales = dict(self._det_amax)
+        if self._det_calib.update(got):
+            self._det_scales = self._det_calib.table()
+            self._maybe_prepare_det()
             for k in [k for k in self._runs
                       if not (isinstance(k, tuple) and k
                               and k[0] == "pose_lowbw")]:
@@ -219,10 +232,11 @@ class FusedDetectPose:
         by = (b[:, 1::2] - geom["pad_y"]) / geom["gain"]
         bx = jnp.round(jnp.clip(bx, 0, W))
         by = jnp.round(jnp.clip(by, 0, H))
-        x1 = jnp.maximum(0.0, bx[:, 0] - 5)
-        y1 = jnp.maximum(0.0, by[:, 0] - 5)
-        x2 = jnp.minimum(float(W), bx[:, 1] + 5)
-        y2 = jnp.minimum(float(H), by[:, 1] + 5)
+        pad = float(self.padding)
+        x1 = jnp.maximum(0.0, bx[:, 0] - pad)
+        y1 = jnp.maximum(0.0, by[:, 0] - pad)
+        x2 = jnp.minimum(float(W), bx[:, 1] + pad)
+        y2 = jnp.minimum(float(H), by[:, 1] + pad)
         out_boxes = jnp.stack([x1, y1, x2, y2], axis=1)
         return out_boxes, sc, valid
 
@@ -557,13 +571,15 @@ class FusedDetectPose:
         import jax
         frames = np.asarray(frames)
         n_frames = frames.shape[0]
+        if n_frames == 0:
+            return []
         self._require_pose_calibrated("infer_frames")
         while self._det_calibrating():
             # offline-video warmup: calibrate the detector on the chunk's
             # leading frames (cycling if the chunk is shorter than the
             # calibration budget), then dispatch the whole chunk int8
             self._calibrate_det(self._letterbox_host(
-                frames[self._det_seen % n_frames]))
+                frames[self._det_calib.seen % n_frames]))
         if self.mesh is not None:
             # pad the chunk to a data-axis-divisible frame count
             n_data = self.mesh.shape["data"]

@@ -72,20 +72,18 @@ class UdpPosePipeline:
         # recording per-site input amax, then the engine switches itself.
         self.quantize = quantize if quantize is not None else \
             (cfg.TPU.QUANTIZE or None)
-        if isinstance(act_scales, str):
-            from ..models.quantize import load_act_scales
-            act_scales = load_act_scales(act_scales)
-        self.act_scales = act_scales
+        from ..models.quantize import Calibrator, load_act_scales_maybe
+        self.act_scales = load_act_scales_maybe(act_scales)
         self.calib_batches = (calib_batches if calib_batches is not None
                               else cfg.TPU.QUANTIZE_CALIB_BATCHES)
-        self._calib_seen = 0
-        self._amax = {}
+        self._calib = Calibrator(self.calib_batches)
         self._collect = None
         self._collect_crops = None
         self._prep = None
         self._infer_fp = None           # bf16 graph used while calibrating
         # ONE jitted closure; jax.jit caches per padded-bucket shape
         self._infer = None
+        self._maybe_prepare()           # table provided up-front
 
     def _active_model(self):
         if self.quantize == "int8" and self.act_scales is not None:
@@ -95,6 +93,14 @@ class UdpPosePipeline:
             raise ValueError(f"unknown quantize mode {self.quantize!r}")
         return self.model
 
+    def _maybe_prepare(self):
+        """Once a calibration table exists, hoist the per-channel weight
+        requant out of the serving graphs: augment ``variables`` with the
+        precomputed int8 kernels (prepare_variables; idempotent)."""
+        if self.quantize == "int8" and self.act_scales is not None:
+            self.variables = self._active_model().prepare_variables(
+                self.variables)
+
     def save_act_scales(self, path):
         """Persist the calibration table (json) for later runs."""
         from ..models.quantize import save_act_scales
@@ -103,14 +109,12 @@ class UdpPosePipeline:
         save_act_scales(path, self.act_scales)
 
     def _merge_amax(self, got):
-        """Fold one collected batch into the running table; freeze into
-        ``act_scales`` (switching the engine to int8) after
-        ``calib_batches`` batches."""
-        for k, v in got.items():
-            self._amax[k] = max(self._amax.get(k, 0.0), float(v))
-        self._calib_seen += 1
-        if self._calib_seen >= self.calib_batches:
-            self.act_scales = dict(self._amax)
+        """Fold one collected batch into the running table
+        (models/quantize.Calibrator); freeze into ``act_scales``
+        (switching the engine to int8) after ``calib_batches`` batches."""
+        if self._calib.update(got):
+            self.act_scales = self._calib.table()
+            self._maybe_prepare()
 
     def _calibrate_step(self, frame, center_p, scale_p):
         """Record per-conv amax on this (bf16-served) batch; switch the

@@ -36,8 +36,12 @@ from jax import lax
 # Keep the output heads in fp by default: their cost is negligible and
 # downstream consumers read their values directly — the sub-pixel decode
 # (DARK Taylor / UDP offset) for pose nets, the box/objectness decode for
-# the YOLOv5 detector ("detect*", models/yolov5.py:166).
-DEFAULT_SKIP = ("final_layer", "*final*", "*attn*", "*deattn*", "detect*")
+# the YOLOv5 detector ("detect*", models/yolov5.py:166), and RSN's
+# per-unit heatmap convs ("*res_conv2*", models/rsn.py:233 — every
+# UpsampleUnit's res output feeds the gaussian-blur quarter-offset
+# decode / the stage-wise loss directly).
+DEFAULT_SKIP = ("final_layer", "*final*", "*attn*", "*deattn*", "detect*",
+                "*res_conv2*")
 
 
 def _is_plain_conv(mod) -> bool:
@@ -138,18 +142,62 @@ def load_act_scales(path: str) -> Dict[str, float]:
         return {str(k): float(v) for k, v in json.load(f).items()}
 
 
+def load_act_scales_maybe(act_scales):
+    """str path → loaded table; dict/None pass through unchanged."""
+    if isinstance(act_scales, str):
+        return load_act_scales(act_scales)
+    return act_scales
+
+
+class Calibrator:
+    """Running per-site input-amax accumulator with a freeze threshold —
+    the ONE state machine behind every self-calibrating engine
+    (UdpPosePipeline, FusedDetectPose's detector,
+    build_flax_yolo_detector): fold collected batches with max(), count
+    them, freeze into a table after ``calib_batches``."""
+
+    def __init__(self, calib_batches):
+        self.batches = max(1, int(calib_batches))
+        self.amax: Dict[str, float] = {}
+        self.seen = 0
+
+    def update(self, got: Mapping[str, Any]) -> bool:
+        """Fold one collected batch; True once the table should freeze."""
+        for k, v in got.items():
+            self.amax[k] = max(self.amax.get(k, 0.0), float(v))
+        self.seen += 1
+        return self.seen >= self.batches
+
+    def table(self) -> Dict[str, float]:
+        return dict(self.amax)
+
+
 # --------------------------------------------------------------------------
 # Quantized apply
 # --------------------------------------------------------------------------
 
-def _quantized_conv(mod, x, amax: float):
-    """int8 w8a8 replacement for one nn.Conv call (NHWC)."""
-    params = mod.variables["params"]
-    kernel = params["kernel"].astype(jnp.float32)      # (kh, kw, cin/g, cout)
+def quantize_kernel(kernel):
+    """Symmetric per-output-channel int8 weight quantization:
+    ``(kh, kw, cin/g, cout) fp -> (int8 kernel, per-cout fp32 scale)``."""
+    k = kernel.astype(jnp.float32)
+    s_w = jnp.maximum(jnp.max(jnp.abs(k), axis=(0, 1, 2)) / 127.0, 1e-12)
+    w_i8 = jnp.clip(jnp.round(k / s_w), -127, 127).astype(jnp.int8)
+    return w_i8, s_w
 
-    s_w = jnp.max(jnp.abs(kernel), axis=(0, 1, 2)) / 127.0
-    s_w = jnp.maximum(s_w, 1e-12)
-    w_i8 = jnp.clip(jnp.round(kernel / s_w), -127, 127).astype(jnp.int8)
+
+def _quantized_conv(mod, x, amax: float, prepared=None):
+    """int8 w8a8 replacement for one nn.Conv call (NHWC).
+
+    ``prepared``: optional ``{"kernel_i8", "scale"}`` from
+    :meth:`QuantizedModel.prepare_variables` — the pre-quantized kernel;
+    without it the (identical) quantization math runs in-graph, paying an
+    O(kernel) requant pass every forward."""
+    params = mod.variables["params"]
+    if prepared is not None:
+        w_i8 = prepared["kernel_i8"]
+        s_w = prepared["scale"].astype(jnp.float32)
+    else:
+        w_i8, s_w = quantize_kernel(params["kernel"])
 
     s_a = max(float(amax), 1e-12) / 127.0
     x_f = x.astype(jnp.float32)
@@ -209,8 +257,54 @@ class QuantizedModel:
                 < self.min_in_channels:
             return next_fun(*args, **kwargs)
         self.engaged.add(path)
-        return _quantized_conv(mod, args[0], self.act_scales[path])
+        prepared = mod.variables.get("quant")
+        if prepared is not None and "kernel_i8" not in prepared:
+            prepared = None                    # no entry for this site
+        return _quantized_conv(mod, args[0], self.act_scales[path], prepared)
 
     def apply(self, variables, *args, **kwargs):
         with nn.intercept_methods(self._interceptor):
             return self.model.apply(variables, *args, **kwargs)
+
+    def prepare_variables(self, variables):
+        """One-time per-channel weight quantization for every calibrated,
+        non-skipped site: returns ``variables`` augmented with a 'quant'
+        collection (mirroring the params tree) that the interceptor
+        consumes instead of requantizing the fp kernel inside every
+        serving forward — one dispatch here removes an O(params)
+        requant pass + the duplicate int8 kernel materialization per step.
+        Sites the interceptor declines at trace time (min_in_channels)
+        just leave their entry unused.  Idempotent."""
+        if not self.act_scales or "quant" in variables:
+            return variables
+        params = variables["params"]
+
+        def leaf_of(path):
+            node = params
+            for part in path.split("/"):
+                if not isinstance(node, Mapping) or part not in node:
+                    return None
+                node = node[part]
+            return node if isinstance(node, Mapping) else None
+
+        todo = {}
+        for path in self.act_scales:
+            if _matches(path, self.skip):
+                continue
+            leaf = leaf_of(path)
+            if leaf is not None and "kernel" in leaf:
+                todo[path] = leaf["kernel"]
+        if not todo:
+            return variables
+
+        prep = jax.jit(lambda ks: {p: quantize_kernel(k)
+                                   for p, k in ks.items()})
+        done = prep(todo)
+        quant: Dict[str, Any] = {}
+        for path, (w_i8, s_w) in done.items():
+            node = quant
+            parts = path.split("/")
+            for part in parts[:-1]:
+                node = node.setdefault(part, {})
+            node[parts[-1]] = {"kernel_i8": w_i8, "scale": s_w}
+        return {**variables, "quant": quant}
