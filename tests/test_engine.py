@@ -51,6 +51,11 @@ def test_non_max_suppression_semantics():
 
 def test_padding_bbox_and_yolo2xyxy():
     assert yolo.padding_bbox(2, 3, 630, 470, (480, 640)) == (0, 0, 635, 475)
+    # configurable pad (inference_engine.py --padding)
+    assert yolo.padding_bbox(20, 30, 100, 200, (480, 640), pad=10) == \
+        (10, 20, 110, 210)
+    assert yolo.padding_bbox(20, 30, 100, 200, (480, 640), pad=0) == \
+        (20, 30, 100, 200)
     x1, y1, x2, y2 = yolo.yolo2xyxy((480, 640), (0.5, 0.5, 0.25, 0.5))
     assert (x1, y1, x2, y2) == (239, 119, 399, 359)
 

@@ -244,3 +244,24 @@ def test_flag_guards(cli_env):
                 "--detector", "yolov5n", "--fused", "--pipeline", "2"],
                expect_rc=1, timeout=300)
     assert "applies to video/webcam sources" in out
+    # --classes / --agnostic-nms are host-NMS (two-stage) options
+    out = _run(["--source", cli_env["src"], "--pose-cfg", cli_env["cfg"],
+                "--detector", "yolov5n", "--fused", "--agnostic-nms"],
+               expect_rc=1, timeout=120)
+    assert "two-stage path only" in out
+
+
+def test_detector_nms_flags_plumbed(cli_env):
+    """--det-size/--padding/--classes/--agnostic-nms reach the two-stage
+    detector (inference_engine.py --imgsz/--padding/--classes/
+    --agnostic-nms), and --padding reaches the fused in-graph scale-back."""
+    out_dir = str(cli_env["tmp"] / "out_flags")
+    _run(["--source", cli_env["src"], "--pose-cfg", cli_env["cfg"],
+          "--detector", "yolov5n", "--det-size", "320", "--padding", "9",
+          "--classes", "0", "--agnostic-nms", "--save-dir", out_dir])
+    assert sorted(os.listdir(out_dir)) == ["f0.jpg", "f1.jpg"]
+    out_dir2 = str(cli_env["tmp"] / "out_flags_fused")
+    _run(["--source", cli_env["src"], "--pose-cfg", cli_env["cfg"],
+          "--detector", "yolov5n", "--fused", "--det-size", "320",
+          "--padding", "9", "--save-dir", out_dir2])
+    assert sorted(os.listdir(out_dir2)) == ["f0.jpg", "f1.jpg"]

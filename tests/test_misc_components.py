@@ -230,3 +230,58 @@ print("UNREACHABLE")
     line = proc.stdout.strip().splitlines()[-1]
     parsed = json.loads(line)
     assert parsed["metric"] == "m" and parsed["partial"] is True
+
+
+def test_bench_backend_failure_dump(capsys, monkeypatch):
+    """If the TPU backend is unreachable (bench._run raises before the
+    headline), bench.main() must still print ONE JSON line — marked
+    partial, value 0, with the error — instead of dying silently."""
+    import json
+
+    import bench
+
+    def boom(result):
+        raise RuntimeError("Unable to initialize backend 'axon'")
+
+    monkeypatch.setattr(bench, "_run", boom)
+    monkeypatch.setitem(bench._DUMPED, "done", False)
+    bench.main()
+    lines = [l for l in capsys.readouterr().out.strip().splitlines()
+             if l.startswith("{")]
+    assert len(lines) == 1
+    parsed = json.loads(lines[0])
+    assert parsed["metric"].startswith("crops_per_sec_per_chip")
+    assert parsed["value"] == 0.0 and parsed["partial"] is True
+    assert "axon" in parsed["error"]
+
+
+def test_bench_backend_init_watchdog():
+    """A hanging jax.devices() (a dead axon tunnel hangs in NATIVE code —
+    SIGALRM/SIGTERM handlers never run) must be cut off by the watchdog
+    THREAD: JSON line printed, hard exit, bounded wall time."""
+    import json
+    import os
+    import subprocess
+    import sys
+    import time
+
+    code = """
+import sys, time, types
+sys.path.insert(0, %r)
+import bench
+fake_jax = types.SimpleNamespace(devices=lambda: time.sleep(60))
+result = {"metric": "m", "value": 0.0}
+bench._devices_with_watchdog(fake_jax, result, timeout_s=1)
+print("UNREACHABLE")
+"""
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    t0 = time.time()
+    proc = subprocess.run([sys.executable, "-c", code % repo],
+                          capture_output=True, text=True, timeout=60)
+    assert time.time() - t0 < 30
+    assert proc.returncode == 1
+    assert "UNREACHABLE" not in proc.stdout
+    line = proc.stdout.strip().splitlines()[-1]
+    parsed = json.loads(line)
+    assert parsed["partial"] is True
+    assert "backend init exceeded" in parsed["error"]

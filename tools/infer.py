@@ -33,6 +33,18 @@ def parse_args():
     p.add_argument("--iou-thres", type=float, default=0.45)
     p.add_argument("--max-det", type=int, default=300,
                    help="NMS detection cap (inference_engine.py --max-det)")
+    p.add_argument("--det-size", type=int, default=640,
+                   help="detector letterbox size (inference_engine.py "
+                        "--imgsz)")
+    p.add_argument("--padding", type=int, default=5,
+                   help="±px person-box padding before the pose crop "
+                        "(inference_engine.py --padding)")
+    p.add_argument("--classes", type=int, nargs="+", default=None,
+                   help="keep only these detector class ids before NMS "
+                        "(inference_engine.py --classes; two-stage path)")
+    p.add_argument("--agnostic-nms", action="store_true",
+                   help="class-agnostic NMS (inference_engine.py "
+                        "--agnostic-nms; two-stage path)")
     p.add_argument("--save-dir", default="infer_out")
     p.add_argument("--no-save", action="store_true")
     p.add_argument("--show-fps", action="store_true")
@@ -117,6 +129,10 @@ def main():
                          "one serving shape for your link)")
     if args.pipeline > 1 and not args.fused:
         raise SystemExit("--pipeline needs --fused")
+    if args.fused and (args.classes is not None or args.agnostic_nms):
+        raise SystemExit("--classes/--agnostic-nms apply to the two-stage "
+                         "path only (the fused graph's in-device NMS is "
+                         "person-class, class-aware by construction)")
     if args.pipeline > 1 and args.chunk > 1:
         raise SystemExit("--pipeline and --chunk are mutually exclusive "
                          "(the chunked path is already batched)")
@@ -151,8 +167,9 @@ def main():
             cfg, args.pose_weights or None,
             yolo_variant=args.detector.replace("yolov5", ""),
             yolo_weights=w, max_persons=args.max_persons,
+            det_size=args.det_size,
             conf_thres=args.conf_thres, iou_thres=args.iou_thres,
-            person_class=args.person_class,
+            person_class=args.person_class, padding=args.padding,
             quantize=quantize or None,
             pose_act_scales=pose_scales if quantize else None,
             det_act_scales=det_scales if quantize else None)
@@ -173,11 +190,14 @@ def main():
         w = load_weights(args.detector_weights) \
             if args.detector_weights else None
         yolo_det = build_flax_yolo_detector(
-            variant=variant, weights=w, conf_thres=args.conf_thres,
+            variant=variant, weights=w, input_size=args.det_size,
+            conf_thres=args.conf_thres,
             iou_thres=args.iou_thres, person_class=args.person_class,
             max_det=args.max_det, quantize=quantize or None,
             act_scales=det_scales,
-            calib_batches=cfg.TPU.QUANTIZE_CALIB_BATCHES)
+            calib_batches=cfg.TPU.QUANTIZE_CALIB_BATCHES,
+            classes=args.classes, agnostic_nms=args.agnostic_nms,
+            padding=args.padding)
 
     def boxes_for(frame, path=None):
         if label_det is not None and path is not None:

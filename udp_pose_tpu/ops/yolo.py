@@ -100,13 +100,14 @@ def non_max_suppression(prediction, conf_thres=0.25, iou_thres=0.45,
     return outputs
 
 
-def padding_bbox(x1, y1, x2, y2, img_shape_hw):
-    """±5 px box padding clipped to the image (inference_engine.py:137-147)."""
+def padding_bbox(x1, y1, x2, y2, img_shape_hw, pad=5):
+    """±``pad`` px box padding clipped to the image
+    (inference_engine.py:137-147; CLI ``--padding``, default 5)."""
     h, w = img_shape_hw[:2]
-    x1 = max(0, x1 - 5)
-    y1 = max(0, y1 - 5)
-    x2 = min(w, x2 + 5)
-    y2 = min(h, y2 + 5)
+    x1 = max(0, x1 - pad)
+    y1 = max(0, y1 - pad)
+    x2 = min(w, x2 + pad)
+    y2 = min(h, y2 + pad)
     return x1, y1, x2, y2
 
 
