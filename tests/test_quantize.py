@@ -706,3 +706,53 @@ def test_test_cli_quantize_int8(tmp_path):
     blob = p.stdout + p.stderr
     assert "int8 PTQ: calibrated" in blob
     assert "| AP |" in blob or "AP" in blob
+
+
+def test_test_cli_quantize_int8_rsn(tmp_path):
+    """TPU.QUANTIZE int8 on the RSN family through the real tools/test.py
+    subprocess: the path that composes the BGR-constant calibration
+    (serving_normalizer), the *res_conv2* fp skip, prepared int8 kernels
+    and the RSN decode protocol."""
+    from flax import serialization
+    from ref_harness import make_mini_coco
+
+    root = str(tmp_path / "data")
+    make_mini_coco(root, n_images=4, seed=9)
+    from udp_pose_tpu.config import default_config
+    cfg = default_config()
+    cfg.TPU.DTYPE = "float32"
+    cfg.MODEL.NAME = "rsn"
+    cfg.MODEL.IMAGE_SIZE = [96, 128]
+    cfg.MODEL.HEATMAP_SIZE = [24, 32]
+    cfg.MODEL.INIT_WEIGHTS = False
+    cfg.MODEL.EXTRA.STAGE_NUM = 2
+    cfg.MODEL.EXTRA.UPSAMPLE_CHANNEL_NUM = 64
+    cfg.DATASET.DATASET = "coco"
+    cfg.DATASET.ROOT = root
+    cfg.DATASET.TEST_SET = "val2017"
+    cfg.TEST.USE_GT_BBOX = True
+    cfg.TEST.FLIP_TEST = False
+    cfg.TEST.BATCH_SIZE_PER_GPU = 4
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    cfg.LOG_DIR = str(tmp_path / "log")
+
+    model = build_model(cfg)
+    variables = model.init(jax.random.PRNGKey(1),
+                           jnp.zeros((1, 128, 96, 3)), train=False)
+    wpath = str(tmp_path / "w.msgpack")
+    with open(wpath, "wb") as f:
+        f.write(serialization.to_bytes(variables))
+    cfg.TEST.MODEL_FILE = wpath
+    ypath = str(tmp_path / "rsn.yaml")
+    with open(ypath, "w") as f:
+        f.write(cfg.dump())
+
+    env = dict(os.environ, UDP_POSE_PLATFORM="cpu")
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "test.py"),
+         "--cfg", ypath, "TPU.QUANTIZE", "int8"],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=540)
+    assert p.returncode == 0, (p.stdout[-1500:], p.stderr[-1500:])
+    blob = p.stdout + p.stderr
+    assert "int8 PTQ: calibrated" in blob
+    assert "AP" in blob
