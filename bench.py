@@ -42,14 +42,15 @@ def main():
         "vs_baseline": 0.0,
         "partial": True,
     }
-    _arm_emergency_dump(result)
-    # Global self-deadline (never canceled): if the whole bench exceeds it
-    # — e.g. the tunnel dies mid-compile, where neither SIGTERM nor SIGALRM
-    # can be processed (native-blocked main thread) — dump whatever metrics
-    # were collected so far and exit, instead of being SIGKILLed silently.
+    restore_signals = _arm_emergency_dump(result)
+    # Global self-deadline: if the whole bench exceeds it — e.g. the
+    # tunnel dies mid-compile, where neither SIGTERM nor SIGALRM can be
+    # processed (native-blocked main thread) — dump whatever metrics were
+    # collected so far and exit, instead of being SIGKILLed silently.
     import os
-    _arm_watchdog(result, int(os.environ.get("BENCH_DEADLINE_S", 5400)),
-                  "bench self-deadline exceeded (hung mid-run?)")
+    cancel_deadline = _arm_watchdog(
+        result, int(os.environ.get("BENCH_DEADLINE_S", 5400)),
+        "bench self-deadline exceeded (hung mid-run?)")
     try:
         _run(result)
     except Exception as e:                    # e.g. TPU backend unavailable
@@ -58,6 +59,9 @@ def main():
     if not _DUMPED["done"]:
         print(json.dumps(result), flush=True)
         _DUMPED["done"] = True
+    # leave no armed timers/handlers behind (in-process callers: tests)
+    cancel_deadline()
+    restore_signals()
 
 
 def _run(result):
@@ -337,7 +341,8 @@ _DUMPED = {"done": False}
 
 def _arm_emergency_dump(result):
     """On SIGTERM/SIGINT (driver timeout), print the metrics collected so
-    far as the one JSON line instead of dying silently mid-compile."""
+    far as the one JSON line instead of dying silently mid-compile.
+    Returns a restore() that reinstates the previous handlers."""
     import signal
 
     def dump(signum, frame):
@@ -347,8 +352,13 @@ def _arm_emergency_dump(result):
             _DUMPED["done"] = True
         raise SystemExit(0)
 
-    signal.signal(signal.SIGTERM, dump)
-    signal.signal(signal.SIGINT, dump)
+    old_term = signal.signal(signal.SIGTERM, dump)
+    old_int = signal.signal(signal.SIGINT, dump)
+
+    def restore():
+        signal.signal(signal.SIGTERM, old_term)
+        signal.signal(signal.SIGINT, old_int)
+    return restore
 
 
 def bench_train(jax, jnp, batch=128):

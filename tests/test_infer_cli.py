@@ -249,6 +249,13 @@ def test_flag_guards(cli_env):
                 "--detector", "yolov5n", "--fused", "--agnostic-nms"],
                expect_rc=1, timeout=120)
     assert "two-stage path only" in out
+    # ... and need a detector at all (silently-dead flags refused)
+    out = _run(["--source", cli_env["src"], "--pose-cfg", cli_env["cfg"],
+                "--classes", "0"], expect_rc=1, timeout=120)
+    assert "need --detector" in out
+    out = _run(["--source", cli_env["src"], "--pose-cfg", cli_env["cfg"],
+                "--det-size", "320"], expect_rc=1, timeout=120)
+    assert "--det-size needs --detector" in out
 
 
 def test_detector_nms_flags_plumbed(cli_env):

@@ -620,6 +620,47 @@ def test_fused_cfg_quantize_applies_to_both_subgraphs(trained):
     assert eng_pose_only._pose.quantize == "int8"
     assert eng_pose_only._det_quantize is None
 
+    # explicit quantize="" is an OFF switch that beats tables AND cfg —
+    # uniform across both subgraphs
+    eng_off_tables = FusedDetectPose(cfg, variables, yolo_variant="n",
+                                     max_persons=4, det_size=64, topk=16,
+                                     quantize="",
+                                     pose_act_scales=dict(scales),
+                                     det_act_scales={"x": 1.0})
+    assert eng_off_tables._pose.quantize == ""
+    assert eng_off_tables._det_quantize is None
+
+
+def test_pipeline_table_implies_int8(trained, tmp_path):
+    """UdpPosePipeline(act_scales=...) without quantize= must serve int8
+    (a provided table IS the request) — the same gating as the fused
+    engine and the detector builder; quantize='' stays an explicit off."""
+    from udp_pose_tpu.engine.pose_engine import UdpPosePipeline
+    cfg, model, variables, images, _ = trained
+    cfg = cfg.clone()
+    cfg.DATASET.DATASET = "coco"
+    cfg.TEST.FLIP_TEST = False
+
+    scales = calibrate(model, variables,
+                       [jnp.asarray(normalize_images(images))])
+    p = str(tmp_path / "scales.json")
+    save_act_scales(p, scales)
+
+    rng = np.random.default_rng(41)
+    frame = rng.integers(0, 255, (240, 320, 3), np.uint8)
+    boxes = np.array([[40, 30, 140, 200]], np.float32)
+
+    implied = UdpPosePipeline(cfg, variables, act_scales=p)
+    assert implied.quantize == "int8"
+    assert implied._active_model().__class__.__name__ == "QuantizedModel"
+    explicit = UdpPosePipeline(cfg, variables, quantize="int8",
+                               act_scales=p)
+    np.testing.assert_array_equal(implied.infer_pose(frame, boxes)[0],
+                                  explicit.infer_pose(frame, boxes)[0])
+
+    off = UdpPosePipeline(cfg, variables, quantize="", act_scales=p)
+    assert off._active_model() is off.model      # fp despite the table
+
 
 def test_detector_table_implies_int8(tmp_path):
     """build_flax_yolo_detector(act_scales=...) without quantize= must

@@ -133,6 +133,12 @@ def main():
         raise SystemExit("--classes/--agnostic-nms apply to the two-stage "
                          "path only (the fused graph's in-device NMS is "
                          "person-class, class-aware by construction)")
+    if (args.classes is not None or args.agnostic_nms) \
+            and not args.detector:
+        raise SystemExit("--classes/--agnostic-nms need --detector (they "
+                         "configure the detector's NMS)")
+    if args.det_size != 640 and not args.detector:
+        raise SystemExit("--det-size needs --detector")
     if args.pipeline > 1 and args.chunk > 1:
         raise SystemExit("--pipeline and --chunk are mutually exclusive "
                          "(the chunked path is already batched)")
@@ -171,8 +177,7 @@ def main():
             conf_thres=args.conf_thres, iou_thres=args.iou_thres,
             person_class=args.person_class, padding=args.padding,
             quantize=quantize or None,
-            pose_act_scales=pose_scales if quantize else None,
-            det_act_scales=det_scales if quantize else None)
+            pose_act_scales=pose_scales, det_act_scales=det_scales)
         pose = fused._pose
     else:
         scales = (args.act_scales

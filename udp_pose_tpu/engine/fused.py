@@ -59,23 +59,22 @@ class FusedDetectPose:
         # host letterbox is 1-LSB-parity with the in-graph one).  Wins on
         # PCIe-class links where the ~15 ms/frame chip time matters; on
         # the dev tunnel the frame upload dominates either way (DESIGN.md).
-        # pose-net int8: explicit quantize= OR a pose table OR
-        # cfg.TPU.QUANTIZE; detector int8: explicit quantize= OR a det
-        # table OR cfg.TPU.QUANTIZE (a pose-only table must not silently
-        # quantize the detector, and vice versa; the cfg fallback applies
-        # to BOTH subgraphs so a TPU.QUANTIZE yaml behaves the same here
-        # as in the two-stage pipeline; quantize="" is an explicit off
-        # that overrides the cfg).
+        # Gating, uniform per subgraph (same precedence as UdpPosePipeline
+        # and build_flax_yolo_detector): explicit quantize= wins —
+        # including "" = off — else that subgraph's OWN table implies
+        # int8 (a pose-only table must not silently quantize the
+        # detector, and vice versa), else cfg.TPU.QUANTIZE applies to
+        # BOTH subgraphs so a TPU.QUANTIZE yaml behaves the same here as
+        # in the two-stage pipeline.
         self._pose = UdpPosePipeline(
             pose_cfg, pose_weights, flip_test=flip_test,
-            quantize=("int8" if pose_act_scales is not None else quantize),
-            act_scales=pose_act_scales)
+            quantize=quantize, act_scales=pose_act_scales)
         self.cfg = self._pose.cfg
-        if quantize is None:
-            quantize = self.cfg.TPU.QUANTIZE or None
-        self._det_quantize = ("int8" if (quantize == "int8"
-                                         or det_act_scales is not None)
-                              else None)
+        det_q = quantize
+        if det_q is None:
+            det_q = ("int8" if det_act_scales is not None
+                     else (self.cfg.TPU.QUANTIZE or None))
+        self._det_quantize = "int8" if det_q == "int8" else None
         self.num_joints = self._pose.num_joints
         self.skeleton = self._pose.skeleton
         self.max_persons = max_persons
@@ -460,6 +459,10 @@ class FusedDetectPose:
             # graphs so the next bucket build traces the int8 model
             self._pose.calibrate_crops(crops_u8)
             if self._pose.act_scales is not None:
+                # table froze: pre-quantize the kernels now (the graphs
+                # are dropped anyway, so the treedef change is free) and
+                # retrace around the int8 model
+                self._pose._maybe_prepare()
                 for k in [k for k in self._runs
                           if isinstance(k, tuple) and k
                           and k[0] == "pose_lowbw"]:

@@ -70,10 +70,15 @@ class UdpPosePipeline:
         # table the convs run w8a8 on the MXU's 2x int8 path; without one
         # the first ``calib_batches`` infer_pose calls serve in bf16 while
         # recording per-site input amax, then the engine switches itself.
-        self.quantize = quantize if quantize is not None else \
-            (cfg.TPU.QUANTIZE or None)
         from ..models.quantize import Calibrator, load_act_scales_maybe
         self.act_scales = load_act_scales_maybe(act_scales)
+        # gating (uniform across all engines): explicit quantize= wins
+        # (including "" = off), else a provided table IS the int8 request,
+        # else cfg.TPU.QUANTIZE
+        if quantize is None:
+            quantize = ("int8" if self.act_scales is not None
+                        else (cfg.TPU.QUANTIZE or None))
+        self.quantize = quantize
         self.calib_batches = (calib_batches if calib_batches is not None
                               else cfg.TPU.QUANTIZE_CALIB_BATCHES)
         self._calib = Calibrator(self.calib_batches)
@@ -113,8 +118,11 @@ class UdpPosePipeline:
         (models/quantize.Calibrator); freeze into ``act_scales``
         (switching the engine to int8) after ``calib_batches`` batches."""
         if self._calib.update(got):
+            # NOTE: no _maybe_prepare() here — the freeze batch is still
+            # served by the already-chosen bf16 graph, and mutating the
+            # variables treedef now would force one gratuitous recompile
+            # of it; preparation runs when the int8 graph is first built
             self.act_scales = self._calib.table()
-            self._maybe_prepare()
 
     def _calibrate_step(self, frame, center_p, scale_p):
         """Record per-conv amax on this (bf16-served) batch; switch the
@@ -269,6 +277,7 @@ class UdpPosePipeline:
             infer = self._infer_fp
         else:
             if self._infer is None:
+                self._maybe_prepare()        # one-time, host-side
                 self._infer = self._build_infer()
             infer = self._infer
         preds, maxvals = infer(self.variables, frame, center_p, scale_p)
