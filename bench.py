@@ -235,12 +235,14 @@ def _shufflenet_cfg():
 
 
 def bench_family(jax, jnp, cfg, batch, iters=(6, 18), flip=True,
-                 quantize=False):
+                 quantize=False, prepare=True):
     """Full inference pipeline (flip test + decode) crops/s for one
     config, same differencing method as the headline.  ``flip=False``
     is the serving protocol (no flip-test fold) — the raw-throughput
     shape most deployments run.  ``quantize`` amax-calibrates on one
-    batch and serves w8a8 int8 (models/quantize.py)."""
+    batch and serves w8a8 int8 (models/quantize.py); ``prepare=False``
+    keeps the per-forward in-graph weight requant (A/B knob for
+    tools/profile_int8.py)."""
     from udp_pose_tpu.core.infer import make_infer_fn
     from udp_pose_tpu.models import build_model
 
@@ -257,7 +259,8 @@ def bench_family(jax, jnp, cfg, batch, iters=(6, 18), flip=True,
             0, 256, (32, h, w, 3)).astype(np.uint8)
         scales = calibrate(model, variables, [normalize_images(cal)])
         model = QuantizedModel(model, scales)
-        variables = model.prepare_variables(variables)
+        if prepare:
+            variables = model.prepare_variables(variables)
     if cfg.MODEL.NAME == "rsn":
         from udp_pose_tpu.core.infer import COCO_FLIP_PAIRS
         from udp_pose_tpu.core.rsn import make_rsn_infer_fn
