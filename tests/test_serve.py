@@ -1,0 +1,288 @@
+"""Serving daemon tests: batcher math parity, cross-request coalescing,
+the HTTP layer (endpoints, errors, metrics), and the CLI as a real
+subprocess.  Tiny pose model on CPU."""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CFG_YAML = """
+DATASET:
+  DATASET: coco
+MODEL:
+  NAME: pose_resnet
+  TARGET_TYPE: gaussian
+  IMAGE_SIZE: [96, 128]
+  HEATMAP_SIZE: [24, 32]
+  NUM_JOINTS: 17
+  INIT_WEIGHTS: false
+  EXTRA:
+    NUM_LAYERS: 18
+    NUM_DECONV_LAYERS: 2
+    NUM_DECONV_FILTERS: [64, 64]
+    NUM_DECONV_KERNELS: [4, 4]
+    DECONV_WITH_BIAS: false
+    FINAL_CONV_KERNEL: 1
+TPU:
+  DTYPE: float32
+TEST:
+  FLIP_TEST: false
+"""
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg(tmp_path_factory):
+    path = tmp_path_factory.mktemp("serve") / "tiny.yaml"
+    path.write_text(CFG_YAML)
+    from udp_pose_tpu.config import load_config
+    return load_config(str(path)), str(path)
+
+
+@pytest.fixture(scope="module")
+def service(tiny_cfg):
+    from udp_pose_tpu.engine.server import PoseService
+    cfg, _ = tiny_cfg
+    svc = PoseService(cfg, max_batch=64, window_ms=5.0)
+    yield svc
+    svc.close()
+
+
+def _frame(seed=0, hw=(240, 320)):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (*hw, 3)).astype(np.uint8)
+
+
+BOXES = np.array([[40.0, 30.0, 120.0, 200.0],
+                  [150.0, 60.0, 260.0, 230.0],
+                  [10.0, 10.0, 90.0, 110.0]], np.float32)
+
+
+def test_pose_matches_manual_graph(service, tiny_cfg):
+    """Through-the-batcher result == make_infer_fn on the same padded
+    bucket (the batcher adds no math of its own)."""
+    from udp_pose_tpu.core.infer import make_infer_fn
+    from udp_pose_tpu.engine.server import host_crops
+
+    cfg, _ = tiny_cfg
+    img = _frame(1)
+    got = service.pose(img, BOXES)
+    assert got["keypoints"].shape == (3, 17, 2)
+    assert got["scores"].shape == (3, 17, 1)
+
+    crops, center, scale = host_crops(img, BOXES, service.pipe.input_wh)
+    pad = 4 - 3                                  # _next_bucket(3) == 4
+    crops = np.concatenate([crops, crops[:1]])
+    center = np.concatenate([center, center[:1]])
+    scale = np.concatenate([scale, scale[:1]])
+    infer = make_infer_fn(service.pipe.model, target_type="gaussian",
+                          flip_test=False, post_process=cfg.TEST.POST_PROCESS,
+                          kpd=cfg.LOSS.KPD)
+    preds, maxvals, _ = infer(service.pipe.variables, crops, center, scale)
+    np.testing.assert_array_equal(got["keypoints"], np.asarray(preds)[:3])
+    np.testing.assert_array_equal(got["scores"], np.asarray(maxvals)[:3])
+    assert pad == 1
+
+
+def test_zero_boxes(service):
+    out = service.pose(_frame(2), np.zeros((0, 4), np.float32))
+    assert out["keypoints"].shape == (0, 17, 2)
+
+
+def test_bad_boxes_rejected(service):
+    with pytest.raises(ValueError):
+        service.pose(_frame(3), np.zeros((2, 3), np.float32))
+    with pytest.raises(ValueError):
+        service.pose(_frame(3), np.zeros((300, 4), np.float32))
+
+
+def test_concurrent_requests_coalesce(tiny_cfg):
+    """N threads sending the same job within the window must coalesce
+    into fewer dispatches, and every thread gets the same answer."""
+    from udp_pose_tpu.engine.server import PoseService
+    cfg, _ = tiny_cfg
+    svc = PoseService(cfg, max_batch=64, window_ms=250.0)
+    try:
+        img = _frame(4)
+        svc.pose(img, BOXES)                     # compile the bucket
+        n_before = len(svc.batcher.batch_log)
+        results = [None] * 6
+        errs = []
+
+        def worker(i):
+            try:
+                results[i] = svc.pose(img, BOXES)
+            except Exception as e:               # pragma: no cover
+                errs.append(e)
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errs
+        dispatches = list(svc.batcher.batch_log)[n_before:]
+        assert sum(dispatches) == 18             # all 6x3 crops served
+        assert max(dispatches) > 3               # at least one coalesced
+        for r in results[1:]:
+            np.testing.assert_array_equal(r["keypoints"],
+                                          results[0]["keypoints"])
+    finally:
+        svc.close()
+
+
+@pytest.fixture(scope="module")
+def http_server(service):
+    from udp_pose_tpu.engine.server import PoseServer
+    server = PoseServer(service, port=0)
+    server.serve_in_thread()
+    yield f"http://127.0.0.1:{server.port}"
+    server.httpd.shutdown()
+    server.httpd.server_close()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=60) as r:
+        return r.status, r.read()
+
+
+def _post(url, body, headers):
+    req = urllib.request.Request(url, data=body, headers=headers,
+                                 method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status, json.loads(r.read())
+
+
+def _npy_bytes(img):
+    import io
+    buf = io.BytesIO()
+    np.save(buf, img)
+    return buf.getvalue()
+
+
+def test_http_healthz(http_server):
+    status, body = _get(http_server + "/healthz")
+    state = json.loads(body)
+    assert status == 200 and state["status"] == "ok"
+    assert state["model"] == "pose_resnet" and not state["detector"]
+
+
+def test_http_pose_npy(http_server, service):
+    img = _frame(5)
+    status, out = _post(
+        http_server + "/v1/pose", _npy_bytes(img),
+        {"Content-Type": "application/x-npy",
+         "X-Boxes": json.dumps(BOXES.tolist())})
+    assert status == 200
+    kp = np.asarray(out["keypoints"], np.float32)
+    assert kp.shape == (3, 17, 2) and out["latency_ms"] > 0
+    direct = service.pose(img, BOXES)            # same bucket, same graph
+    np.testing.assert_allclose(kp, direct["keypoints"], atol=1e-4)
+
+
+def test_http_pose_jpeg_json(http_server):
+    import base64
+    import cv2
+    img = _frame(6)
+    ok, enc = cv2.imencode(".jpg", img[:, :, ::-1])
+    assert ok
+    body = json.dumps({
+        "image_b64": base64.b64encode(enc.tobytes()).decode(),
+        "boxes": BOXES.tolist(),
+    }).encode()
+    status, out = _post(http_server + "/v1/pose", body,
+                        {"Content-Type": "application/json"})
+    assert status == 200
+    assert np.asarray(out["keypoints"]).shape == (3, 17, 2)
+
+
+def test_http_errors(http_server):
+    # missing boxes
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(http_server + "/v1/pose", _npy_bytes(_frame(7)),
+              {"Content-Type": "application/x-npy"})
+    assert e.value.code == 400
+    # undecodable image
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(http_server + "/v1/pose", b"not an image",
+              {"Content-Type": "image/jpeg",
+               "X-Boxes": json.dumps(BOXES.tolist())})
+    assert e.value.code == 400
+    # unknown route
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(http_server + "/nope")
+    assert e.value.code == 404
+    # detector endpoint while the server runs pose-only
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(http_server + "/v1/detect_pose", _npy_bytes(_frame(8)),
+              {"Content-Type": "application/x-npy"})
+    assert e.value.code == 409
+
+
+def test_http_metrics(http_server):
+    status, body = _get(http_server + "/metrics")
+    text = body.decode()
+    assert status == 200
+    assert 'udp_pose_requests_total{endpoint="pose",code="200"}' in text
+    assert "udp_pose_latency_seconds" in text
+    assert "udp_pose_batch_crops" in text
+
+
+def test_detect_pose_inprocess(tiny_cfg):
+    """Fused detect+pose behind the service (random-init yolov5n at a
+    small det size; asserts the contract, not detections)."""
+    from udp_pose_tpu.engine.server import PoseService
+    cfg, _ = tiny_cfg
+    svc = PoseService(cfg, detector="yolov5n", max_persons=4,
+                      det_kwargs={"det_size": 192})
+    try:
+        out = svc.detect_pose(_frame(9, hw=(144, 192)))
+        n = len(out["boxes"])
+        assert np.asarray(out["keypoints"]).shape == (n, 17, 2)
+        assert np.asarray(out["det_scores"]).shape == (n,)
+    finally:
+        svc.close()
+
+
+def test_serve_cli_subprocess(tiny_cfg, tmp_path):
+    """tools/serve.py end-to-end: boot, healthz, one pose request,
+    graceful SIGTERM."""
+    _, cfg_path = tiny_cfg
+    env = dict(os.environ, UDP_POSE_PLATFORM="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "tools", "serve.py"),
+         "--cfg", cfg_path, "--port", "0", "--no-flip",
+         "--window-ms", "1"],
+        env=env, cwd=REPO, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True)
+    try:
+        line = proc.stdout.readline()
+        assert line.startswith("serving on "), line
+        base = line.strip().split()[-1]
+        status, body = _get(base + "/healthz")
+        assert status == 200 and json.loads(body)["status"] == "ok"
+        status, out = _post(
+            base + "/v1/pose", _npy_bytes(_frame(10)),
+            {"Content-Type": "application/x-npy",
+             "X-Boxes": json.dumps(BOXES.tolist())})
+        assert status == 200
+        assert np.asarray(out["keypoints"]).shape == (3, 17, 2)
+    finally:
+        proc.send_signal(signal.SIGTERM)
+        try:
+            rc = proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            raise
+    assert rc == 0, (rc, proc.stderr.read()[-1500:])

@@ -384,23 +384,8 @@ class FusedDetectPose:
         """Numpy twin of ops.affine.classic_affine_matrix(..., inv=True)
         at rot=0 (host-side: avoids eager device round trips for a
         handful of 2x3 matrices)."""
-        from ..ops.affine import PIXEL_STD
-        center = np.asarray(center, np.float32)
-        s200 = np.asarray(scale, np.float32) * PIXEL_STD
-        dst_w, dst_h = float(out_size_wh[0]), float(out_size_wh[1])
-        n = center.shape[0]
-        mats = np.zeros((n, 2, 3), np.float32)
-        # dst→src at rot=0.  The 3-point construction makes the y-scale
-        # EQUAL the x-scale (src_w/dst_w, transforms.py:77-109) — the
-        # boxes always arrive aspect-matched from xyxy_to_cs so
-        # s200[1]/dst_h is the same number, but the isotropic form is
-        # the exact closed form of the reference transform.
-        s = s200[:, 0] / dst_w
-        mats[:, 0, 0] = s
-        mats[:, 1, 1] = s
-        mats[:, 0, 2] = center[:, 0] - dst_w * 0.5 * s
-        mats[:, 1, 2] = center[:, 1] - dst_h * 0.5 * s
-        return mats
+        from ..ops.affine import classic_affine_mats_np
+        return classic_affine_mats_np(center, scale, out_size_wh)
 
     def _lowbw_submit_det(self, frame):
         """Low-bw stage 1: host letterbox → async detection dispatch.

@@ -233,3 +233,28 @@ def udp_warp_matrix_np(rot_deg, center, scale, out_size_wh):
     m[1, 2] = (0.5 * s200[0] * math.sin(theta)
                - 0.5 * s200[1] * math.cos(theta) + center[1])
     return m
+
+
+def classic_affine_mats_np(center, scale, out_size_wh):
+    """Host-side numpy twin of :func:`classic_affine_matrix`
+    (``inv=True``, rot=0) over a batch of boxes.
+
+    Used wherever person crops are built on the HOST (the native OpenMP
+    batch warp) instead of in-graph: the fused engine's ``--low-bw``
+    path and the serving daemon's cross-request batcher.  The 3-point
+    construction makes the y-scale EQUAL the x-scale
+    (src_w/dst_w, deep_hrnet tools/infer_utils/utils.py:157-177); boxes
+    arrive aspect-matched from ``xyxy_to_cs`` so the isotropic form is
+    the exact closed form of the reference transform.
+    """
+    center = np.asarray(center, np.float32)
+    s200 = np.asarray(scale, np.float32) * PIXEL_STD
+    dst_w, dst_h = float(out_size_wh[0]), float(out_size_wh[1])
+    n = center.shape[0]
+    mats = np.zeros((n, 2, 3), np.float32)
+    s = s200[:, 0] / dst_w
+    mats[:, 0, 0] = s
+    mats[:, 1, 1] = s
+    mats[:, 0, 2] = center[:, 0] - dst_w * 0.5 * s
+    mats[:, 1, 2] = center[:, 1] - dst_h * 0.5 * s
+    return mats
