@@ -70,6 +70,14 @@ def main():
         variables = jax.jit(lambda r: model.init(
             r, jnp.zeros((1, h, w, 3)), train=False))(jax.random.PRNGKey(0))
 
+    if cfg.TPU.QAT == "int8" and cfg.TPU.QUANTIZE != "int8":
+        # evaluate a QAT checkpoint the way it trained: fake-quant convs
+        # with dynamic activation scales (TPU.QUANTIZE int8 wins when both
+        # are set — that's the true int8 deployment eval)
+        from udp_pose_tpu.models.quantize import FakeQuantModel
+        model = FakeQuantModel(model)
+        logger.info("=> QAT int8: evaluating through the fake-quant grid")
+
     if cfg.TPU.QUANTIZE == "int8":
         # PTQ serving mode: amax-calibrate on the first val batches, then
         # run every conv w8a8 on the MXU int8 path (models/quantize.py)

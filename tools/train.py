@@ -64,6 +64,16 @@ def main():
         logger.info("tensorboardX unavailable; skipping TB logging")
 
     model = build_model(cfg)
+    if cfg.TPU.QAT == "int8":
+        # quantization-aware training: every supported conv runs
+        # fake-quantized (STE) so the weights adapt to the int8 serving
+        # grid (models/quantize.py); train step / validate / checkpoints
+        # are unchanged — the wrapper is a drop-in apply
+        from udp_pose_tpu.models.quantize import FakeQuantModel
+        model = FakeQuantModel(model)
+        logger.info("=> QAT int8: training through the fake-quant grid")
+    elif cfg.TPU.QAT:
+        raise ValueError(f"unknown TPU.QAT mode {cfg.TPU.QAT!r}")
     train_ds = build_dataset(cfg, is_train=True)
     val_ds = build_dataset(cfg, is_train=False)
 
@@ -136,13 +146,26 @@ def main():
             topk=cfg.LOSS.TOPK)
     else:
         step_fn = make_train_step(make_loss_fn(cfg), with_output=True)
-    state = jax.device_put(state, replicated(mesh))
+    if cfg.TPU.TP and mesh.shape["model"] > 1:
+        # tensor parallelism: channel dims shard over 'model' (params,
+        # BN stats AND adam moments — ~1/n per-chip memory on the wide
+        # layers); GSPMD propagates activation shardings + collectives
+        from udp_pose_tpu.parallel import tensor_parallel_sharding
+        state_sharding = tensor_parallel_sharding(
+            state, mesh, cfg.TPU.TP_MIN_FEATURES)
+        logger.info(f"=> tensor-parallel over {mesh.shape['model']} "
+                    "devices ('model' axis)")
+    else:
+        state_sharding = replicated(mesh)
+    state = jax.device_put(state, state_sharding)
 
     begin_epoch, best_perf = cfg.TRAIN.BEGIN_EPOCH, 0.0
     if cfg.AUTO_RESUME:
         state, begin_epoch, best_perf = load_checkpoint(final_output_dir,
                                                         state)
         if begin_epoch:
+            # restored leaves are host arrays — re-place to the mesh layout
+            state = jax.device_put(state, state_sharding)
             logger.info(f"=> resumed at epoch {begin_epoch}")
 
     def make_epoch_iter(epoch):

@@ -260,10 +260,13 @@ def default_config() -> Node:
     c.TPU.MESH = Node()
     c.TPU.MESH.DATA = -1       # -1: all devices on the data axis
     c.TPU.MESH.MODEL = 1
+    c.TPU.TP = False           # shard channel dims over the 'model' axis
+    c.TPU.TP_MIN_FEATURES = 64  # smallest channel dim worth sharding
     c.TPU.DTYPE = "bfloat16"   # compute dtype for model forward
     c.TPU.REMAT = False        # jax.checkpoint on heavy blocks
     c.TPU.QUANTIZE = ""        # "" | "int8": PTQ serving mode (models/quantize.py)
     c.TPU.QUANTIZE_CALIB_BATCHES = 2  # batches used for amax calibration
+    c.TPU.QAT = ""             # "" | "int8": quantization-aware training
     return c
 
 

@@ -218,6 +218,102 @@ def _quantized_conv(mod, x, amax: float, prepared=None):
     return y.astype(out_dtype)
 
 
+def _ste(real, quantized):
+    """Straight-through estimator: forward the quantized value, pass the
+    gradient through as if it were the identity."""
+    return real + lax.stop_gradient(quantized - real)
+
+
+def _fake_quant_conv(mod, x, amax=None):
+    """Fake-quantized (QAT) replacement for one nn.Conv call.
+
+    Simulates the int8 serving path of :func:`_quantized_conv` in fp —
+    inputs snap to the symmetric per-tensor int8 grid and kernels to the
+    per-output-channel grid, but the conv itself runs in fp so gradients
+    flow (straight-through).  ``amax=None`` uses the current batch's
+    dynamic amax (training); a float freezes the deployment grid so eval
+    matches :class:`QuantizedModel` bit-for-grid.
+    """
+    params = mod.variables["params"]
+    k = params["kernel"].astype(jnp.float32)
+    s_w = lax.stop_gradient(
+        jnp.maximum(jnp.max(jnp.abs(k), axis=(0, 1, 2)) / 127.0, 1e-12))
+    k_q = _ste(k, jnp.clip(jnp.round(k / s_w), -127, 127) * s_w)
+
+    x_f = x.astype(jnp.float32)
+    if amax is None:
+        a = lax.stop_gradient(jnp.max(jnp.abs(x_f)))
+        s_a = jnp.maximum(a / 127.0, 1e-12)
+    else:
+        s_a = max(float(amax), 1e-12) / 127.0
+    x_q = _ste(x_f, jnp.clip(jnp.round(x_f / s_a), -127, 127) * s_a)
+
+    dn = lax.conv_dimension_numbers(x.shape, k_q.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    y = lax.conv_general_dilated(
+        x_q, k_q, _pair(mod.strides), _conv_padding(mod),
+        rhs_dilation=_pair(getattr(mod, "kernel_dilation", 1)),
+        dimension_numbers=dn,
+        feature_group_count=getattr(mod, "feature_group_count", 1))
+    if mod.use_bias:
+        y = y + params["bias"].astype(jnp.float32)
+    out_dtype = mod.dtype if mod.dtype is not None else x.dtype
+    return y.astype(out_dtype)
+
+
+class FakeQuantModel:
+    """QAT adapter: every supported conv runs fake-quantized (STE).
+
+    Wrap the model BEFORE ``create_train_state`` / ``make_infer_fn`` — the
+    adapter delegates ``.init`` and attributes, and its ``.apply`` is a
+    drop-in (mutable batch_stats, train=True all work), so the standard
+    train step optimizes through the quantization grid with zero changes.
+    The weights that come out deploy through :class:`QuantizedModel` with
+    a post-training amax calibration, exactly like PTQ — but having
+    trained against the grid, the drift the PTQ tests bound is reduced to
+    (near-)zero.
+
+    ``act_scales``: ``None`` → per-batch dynamic activation amax (the
+    standard QAT recipe — nothing saturates, so the STE is exact);
+    a calibration table → the frozen deployment grid, making eval output
+    match the int8 serving path up to fp-vs-int32 accumulation order.
+    """
+
+    def __init__(self, model, act_scales: Optional[Mapping[str, float]] = None,
+                 skip: Sequence[str] = DEFAULT_SKIP,
+                 min_in_channels: int = 0):
+        self.model = model
+        self.act_scales = None if act_scales is None else dict(act_scales)
+        self.skip = tuple(skip)
+        self.min_in_channels = int(min_in_channels)
+        #: conv paths actually fake-quantized (filled at trace time)
+        self.engaged = set()
+
+    def __getattr__(self, name):
+        return getattr(self.model, name)
+
+    def _interceptor(self, next_fun, args, kwargs, context):
+        mod = context.module
+        if not (_is_plain_conv(mod) and context.method_name == "__call__"):
+            return next_fun(*args, **kwargs)
+        path = _path_of(mod)
+        if _matches(path, self.skip):
+            return next_fun(*args, **kwargs)
+        if self.act_scales is not None and path not in self.act_scales:
+            return next_fun(*args, **kwargs)
+        kernel = mod.variables["params"]["kernel"]
+        if kernel.shape[2] * getattr(mod, "feature_group_count", 1) \
+                < self.min_in_channels:
+            return next_fun(*args, **kwargs)
+        self.engaged.add(path)
+        amax = None if self.act_scales is None else self.act_scales[path]
+        return _fake_quant_conv(mod, args[0], amax)
+
+    def apply(self, variables, *args, **kwargs):
+        with nn.intercept_methods(self._interceptor):
+            return self.model.apply(variables, *args, **kwargs)
+
+
 class QuantizedModel:
     """Drop-in ``.apply`` adapter running every calibrated conv in int8.
 

@@ -7,7 +7,9 @@ inserts the all-reduces over ICI.
 """
 
 from .mesh import (make_mesh, batch_sharding, replicated, shard_batch,
-                   data_parallel_shardings, fetch_local_batch_rows)
+                   data_parallel_shardings, fetch_local_batch_rows,
+                   tensor_parallel_sharding)
 
 __all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch",
-           "data_parallel_shardings", "fetch_local_batch_rows"]
+           "data_parallel_shardings", "fetch_local_batch_rows",
+           "tensor_parallel_sharding"]
