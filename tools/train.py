@@ -139,14 +139,39 @@ def main():
             warmup_iters = min(1000, steps_per_epoch)
         tx = make_rsn_optimizer(base_lr, cfg.TRAIN.WD, max_iters=max_iters,
                                 warmup_iters=warmup_iters)
-        state = TrainState.create(model.apply, state.params,
-                                  state.batch_stats, tx)
-        step_fn = make_rsn_train_step(
-            cfg.MODEL.EXTRA.get("STAGE_NUM", 1), ohkm=cfg.LOSS.USE_OHKM,
-            topk=cfg.LOSS.TOPK)
+        use_pp = cfg.TPU.PP and mesh.shape["model"] > 1
+        if use_pp:
+            # pipeline parallelism: stage s of the multi-stage RSN on
+            # pipeline rank s of the 'model' axis (GPipe microbatch scan,
+            # parallel/pipeline.py); stage params/opt-state shard 1/S
+            if cfg.TPU.TP:
+                raise ValueError("TPU.PP and TPU.TP are mutually "
+                                 "exclusive (both map the 'model' axis)")
+            from udp_pose_tpu.parallel import (create_pipelined_rsn_state,
+                                               make_pipelined_rsn_train_step)
+            rsn_like = {"params": jax.device_get(state.params),
+                        "batch_stats": jax.device_get(state.batch_stats)}
+            state = create_pipelined_rsn_state(
+                cfg, jax.random.PRNGKey(0), tx, init_variables=rsn_like)
+            step_fn = make_pipelined_rsn_train_step(
+                cfg, mesh, n_micro=cfg.TPU.PP_MICROBATCHES,
+                ohkm=cfg.LOSS.USE_OHKM, topk=cfg.LOSS.TOPK)
+            logger.info(f"=> pipeline-parallel over "
+                        f"{mesh.shape['model']} stages "
+                        f"({cfg.TPU.PP_MICROBATCHES} microbatches)")
+        else:
+            state = TrainState.create(model.apply, state.params,
+                                      state.batch_stats, tx)
+            step_fn = make_rsn_train_step(
+                cfg.MODEL.EXTRA.get("STAGE_NUM", 1), ohkm=cfg.LOSS.USE_OHKM,
+                topk=cfg.LOSS.TOPK)
     else:
+        use_pp = False
         step_fn = make_train_step(make_loss_fn(cfg), with_output=True)
-    if cfg.TPU.TP and mesh.shape["model"] > 1:
+    if use_pp:
+        from udp_pose_tpu.parallel import pipeline_state_sharding
+        state_sharding = pipeline_state_sharding(state, mesh)
+    elif cfg.TPU.TP and mesh.shape["model"] > 1:
         # tensor parallelism: channel dims shard over 'model' (params,
         # BN stats AND adam moments — ~1/n per-chip memory on the wide
         # layers); GSPMD propagates activation shardings + collectives
@@ -158,6 +183,25 @@ def main():
     else:
         state_sharding = replicated(mesh)
     state = jax.device_put(state, state_sharding)
+
+    def eval_variables(st):
+        """Variables for validate/export: the pipelined layout merges back
+        into the standard RSN tree (padded last-stage leaves dropped)."""
+        if use_pp:
+            from udp_pose_tpu.parallel import merge_rsn_variables
+            return merge_rsn_variables(
+                {"params": jax.device_get(st.params["stem"]),
+                 "batch_stats": jax.device_get(st.batch_stats["stem"])},
+                {"params": jax.device_get(st.params["stages"]),
+                 "batch_stats": jax.device_get(st.batch_stats["stages"])},
+                rsn_like)
+        return {"params": st.params, "batch_stats": st.batch_stats}
+
+    def save_final(path, st):
+        import types
+        v = eval_variables(st)
+        save_weights(path, types.SimpleNamespace(
+            params=v["params"], batch_stats=v["batch_stats"]))
 
     begin_epoch, best_perf = cfg.TRAIN.BEGIN_EPOCH, 0.0
     if cfg.AUTO_RESUME:
@@ -254,14 +298,13 @@ def main():
         if is_main:
             save_iter_checkpoint(final_output_dir, state, max_iters - 1)
         name_values, perf = validate(
-            cfg, val_ds, model,
-            {"params": state.params, "batch_stats": state.batch_stats},
+            cfg, val_ds, model, eval_variables(state),
             final_output_dir if is_main else "",
             shard_index=shard_index, num_shards=num_shards)
         print_name_value(logger, name_values, cfg.MODEL.NAME)
         if is_main:
-            save_weights(os.path.join(final_output_dir,
-                                      "final_state.msgpack"), state)
+            save_final(os.path.join(final_output_dir,
+                                    "final_state.msgpack"), state)
         return
 
     global_step = 0
@@ -336,8 +379,7 @@ def main():
             global_step += 1
 
         name_values, perf = validate(
-            cfg, val_ds, model,
-            {"params": state.params, "batch_stats": state.batch_stats},
+            cfg, val_ds, model, eval_variables(state),
             final_output_dir if is_main else "",
             shard_index=shard_index, num_shards=num_shards)
         print_name_value(logger, name_values, cfg.MODEL.NAME)

@@ -262,6 +262,8 @@ def default_config() -> Node:
     c.TPU.MESH.MODEL = 1
     c.TPU.TP = False           # shard channel dims over the 'model' axis
     c.TPU.TP_MIN_FEATURES = 64  # smallest channel dim worth sharding
+    c.TPU.PP = False           # GPipe pipeline over 'model' (RSN stages)
+    c.TPU.PP_MICROBATCHES = 2  # microbatches in flight per step
     c.TPU.DTYPE = "bfloat16"   # compute dtype for model forward
     c.TPU.REMAT = False        # jax.checkpoint on heavy blocks
     c.TPU.QUANTIZE = ""        # "" | "int8": PTQ serving mode (models/quantize.py)

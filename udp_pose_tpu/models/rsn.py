@@ -358,6 +358,98 @@ class RSN(nn.Module):
         return outputs[-1][-1]
 
 
+class RSNStem(nn.Module):
+    """The RSN stem alone (ResNet_top, network.py:125-137) — split out so
+    the pipeline-parallel path (parallel/pipeline.py) can run it outside
+    the stage pipeline.  Param names match :class:`RSN` ('top' /
+    'top_conv{0,1,2}') so stem weights move between the two layouts
+    verbatim."""
+    conv_stem: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.conv_stem:
+            x = ConvBnRelu(64, 3, 2, dtype=self.dtype,
+                           name="top_conv0")(x, train)
+            x = ConvBnRelu(64, 7, 1, dtype=self.dtype,
+                           name="top_conv1")(x, train)
+            x = ConvBnRelu(64, 3, 2, dtype=self.dtype,
+                           name="top_conv2")(x, train)
+        else:
+            x = ConvBnRelu(64, 7, 2, dtype=self.dtype, name="top")(x, train)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)))
+        return x
+
+
+class RSNUniformStage(nn.Module):
+    """One PIPELINE-UNIFORM RSN stage: downsample + upsample with ALL
+    inter-stage plumbing always generated (gen_skip / gen_cross_conv on)
+    and skips always consumed.
+
+    Two observations make every stage structurally identical (so stage
+    params stack on a leading axis and shard over a mesh pipeline axis,
+    parallel/pipeline.py):
+
+    * the skip injection in the downsample module is a parameter-free add
+      (network.py:168-170) — feeding ZERO skips reproduces the first
+      stage's ``has_skip=False`` bit-for-bit;
+    * the last stage merely *discards* its skip/cross outputs
+      (network.py:383-391) — computing them changes nothing downstream.
+
+    Inter-stage payload: ``cross`` (B, H/4, W/4, 64) — the same shape the
+    stem produces — plus the two 4-level skip pyramids, which is exactly
+    what :func:`jax.lax.ppermute` shifts between pipeline neighbours.
+    """
+    output_chl_num: int
+    output_shape: Tuple[int, int]
+    chl_num: int = 256
+    layers: Sequence[int] = (2, 2, 2, 2)
+    plain: bool = False
+    se: bool = False
+    bc_planes: bool = False
+    use_prm: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip1, skip2, train: bool = False):
+        x4, x3, x2, x1 = DownsampleModule(
+            tuple(self.layers), True, self.plain, self.se,
+            self.bc_planes, False, dtype=self.dtype,
+            name="down")(x, skip1, skip2, train)
+        res, s1, s2, cross = UpsampleModule(
+            self.output_chl_num, self.output_shape, self.chl_num,
+            gen_skip=True, gen_cross_conv=True, use_prm=self.use_prm,
+            dtype=self.dtype, name="up")(x4, x3, x2, x1, train)
+        return res, s1, s2, cross
+
+
+def stem_from_cfg(cfg):
+    extra = cfg.MODEL.EXTRA
+    dtype = jnp.bfloat16 if cfg.TPU.DTYPE == "bfloat16" else jnp.float32
+    return RSNStem(conv_stem=extra.get("CONV_STEM",
+                                       extra.get("USE_SE", False)),
+                   dtype=dtype)
+
+
+def uniform_stage_from_cfg(cfg):
+    extra = cfg.MODEL.EXTRA
+    dtype = jnp.bfloat16 if cfg.TPU.DTYPE == "bfloat16" else jnp.float32
+    w, h = cfg.MODEL.HEATMAP_SIZE
+    return RSNUniformStage(
+        output_chl_num=cfg.MODEL.NUM_JOINTS,
+        output_shape=(h, w),
+        chl_num=extra.get("UPSAMPLE_CHANNEL_NUM", 256),
+        layers=tuple(extra.get("LAYERS", (2, 2, 2, 2))),
+        plain=extra.get("PLAIN_BOTTLENECK", False),
+        se=extra.get("USE_SE", False),
+        bc_planes=extra.get("BC_FROM_PLANES", extra.get("USE_SE", False)),
+        use_prm=extra.get("USE_PRM", False),
+        dtype=dtype,
+    )
+
+
 def rsn_from_cfg(cfg):
     extra = cfg.MODEL.EXTRA
     dtype = jnp.bfloat16 if cfg.TPU.DTYPE == "bfloat16" else jnp.float32
