@@ -17,7 +17,11 @@ jax.grad through the scan.  These tests pin:
  (d) the train step optimizes sharded stacked params (loss decreases,
      per-chip stage shards are 1/S),
  (e) pipeline-trained weights merge back into the standard RSN tree and
-     reproduce the pipelined eval forward (the validate/export path).
+     reproduce the pipelined eval forward (the validate/export path),
+ (f) the 4-stage (4XRSN) shape pipelines on a (2,4) mesh and matches the
+     monolithic apply,
+ (g) the REAL tools/train.py CLI with TPU.PP trains end-to-end on a
+     4-virtual-device mesh and ships merged standard-tree weights.
 """
 
 import os
