@@ -173,3 +173,39 @@ def test_mobilenetv3_convert_parity():
     fmodel = MobileNetV3Small()
     variables = check_against_model(variables, fmodel, (1, 128, 96, 3))
     _compare_backbone(tmodel, fmodel, variables)
+
+
+def test_mobilenetv3_oracle_matches_published_torchvision_size():
+    """Independent pin for the self-referential oracle concern: torchvision
+    itself is not installed, so the conversion oracle above could in
+    principle mis-replicate torchvision's MobileNetV3-Small and hide the
+    bug from every parity test.  torchvision PUBLISHES the model's
+    parameter count — 2,542,856 for ``mobilenet_v3_small`` (torchvision
+    model-zoo table; classifier = Linear(576→1024) + Linear(1024→1000)).
+    The oracle's features trunk plus that fixed classifier must hit the
+    published figure EXACTLY — any structural deviation (a wrong SE
+    squeeze width, expansion size, missing block, wrong head width)
+    shifts the count.  The flax backbone must agree leaf-for-leaf."""
+    import jax
+    import jax.numpy as jnp
+    from udp_pose_tpu.models.mobile import MobileNetV3Small
+
+    feats = sum(p.numel() for p in _tv_mobilenet_v3_small().parameters())
+    assert feats == 927_008
+    classifier = 576 * 1024 + 1024 + 1024 * 1000 + 1000
+    assert feats + classifier == 2_542_856  # published torchvision total
+
+    variables = jax.eval_shape(
+        lambda r: MobileNetV3Small().init(r, jnp.zeros((1, 128, 96, 3)),
+                                          train=False),
+        jax.random.PRNGKey(0))
+    # params + BN stats == every torch parameter+buffer except
+    # num_batches_tracked counters
+    flax_leaves = sum(
+        int(np.prod(l.shape)) for c in ("params", "batch_stats")
+        for l in jax.tree_util.tree_leaves(variables[c]))
+    tm = _tv_mobilenet_v3_small()
+    torch_total = feats + sum(
+        b.numel() for n, b in tm.named_buffers()
+        if "num_batches_tracked" not in n)
+    assert flax_leaves == torch_total
