@@ -88,7 +88,7 @@ def test_sharded_trajectory_and_mesh_reshape(tmp_path):
     # continue — step-3 loss must match the 8-device trajectory tightly
     fresh = create_train_state(cfg, model, jax.random.PRNGKey(1),
                                steps_per_epoch=10)
-    restored, epoch, _perf = load_checkpoint(tmp_path, fresh)
+    restored, epoch, _perf, _skip = load_checkpoint(tmp_path, fresh)
     assert epoch == 2
     assert int(restored.step) == 2
     _, cont = run(mesh4, 1, state=restored)

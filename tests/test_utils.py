@@ -75,8 +75,8 @@ def test_checkpoint_roundtrip_and_resume(tmp_path):
     assert (tmp_path / "model_best.msgpack").exists()
 
     fresh = create_train_state(cfg, model, jax.random.PRNGKey(1), 10)
-    restored, begin_epoch, best = load_checkpoint(str(tmp_path), fresh)
-    assert begin_epoch == 4 and best == 0.5
+    restored, begin_epoch, best, skip = load_checkpoint(str(tmp_path), fresh)
+    assert begin_epoch == 4 and best == 0.5 and skip == 0
     assert int(restored.step) == 2
     a = jax.tree_util.tree_leaves(state.params)
     b = jax.tree_util.tree_leaves(restored.params)

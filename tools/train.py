@@ -56,6 +56,13 @@ def main():
     logger, final_output_dir, tb_dir = create_logger(cfg, args.cfg, "train")
     logger.info(f"devices: {jax.devices()}")
 
+    # Cloud-TPU eviction (maintenance/spot) delivers SIGTERM: checkpoint
+    # at the next step boundary and exit cleanly; AUTO_RESUME continues
+    # exactly (utils/preemption.py — beyond the reference's epoch/period
+    # granularity recovery, tools/train.py:169-179 / engine.py:82-84)
+    from udp_pose_tpu.utils.preemption import PreemptionGuard
+    guard = PreemptionGuard()
+
     writer = None
     try:
         from tensorboardX import SummaryWriter
@@ -203,14 +210,34 @@ def main():
         save_weights(path, types.SimpleNamespace(
             params=v["params"], batch_stats=v["batch_stats"]))
 
-    begin_epoch, best_perf = cfg.TRAIN.BEGIN_EPOCH, 0.0
-    if cfg.AUTO_RESUME:
-        state, begin_epoch, best_perf = load_checkpoint(final_output_dir,
-                                                        state)
-        if begin_epoch:
+    # rolling-checkpoint backend: msgpack (reference-artifact parity) or
+    # orbax (async commit + per-shard parallel IO — utils/orbax_ckpt.py)
+    ckpt_backend = None
+    if cfg.TPU.CKPT_BACKEND == "orbax":
+        from udp_pose_tpu.utils.orbax_ckpt import OrbaxBackend, load_any
+        ckpt_backend = OrbaxBackend(final_output_dir,
+                                    max_to_keep=cfg.TPU.CKPT_MAX_TO_KEEP)
+        logger.info("=> orbax checkpoint backend (async, sharded)")
+    elif cfg.TPU.CKPT_BACKEND != "msgpack":
+        raise ValueError(f"unknown TPU.CKPT_BACKEND "
+                         f"{cfg.TPU.CKPT_BACKEND!r}")
+
+    begin_epoch, best_perf, resume_skip = cfg.TRAIN.BEGIN_EPOCH, 0.0, 0
+    if cfg.AUTO_RESUME and ckpt_backend is not None and not iter_mode:
+        state, begin_epoch, best_perf, resume_skip = load_any(
+            ckpt_backend, final_output_dir, state, iter_mode=False)
+        if begin_epoch or resume_skip:
+            logger.info(f"=> resumed (orbax) at epoch {begin_epoch}" + (
+                f" step {resume_skip}" if resume_skip else ""))
+    elif cfg.AUTO_RESUME:
+        state, begin_epoch, best_perf, resume_skip = load_checkpoint(
+            final_output_dir, state)
+        if begin_epoch or resume_skip:
             # restored leaves are host arrays — re-place to the mesh layout
             state = jax.device_put(state, state_sharding)
-            logger.info(f"=> resumed at epoch {begin_epoch}")
+            logger.info(f"=> resumed at epoch {begin_epoch}" + (
+                f" step {resume_skip} (mid-epoch preemption save)"
+                if resume_skip else ""))
 
     def make_epoch_iter(epoch):
         """WORKERS>0 → grain multiprocess loader; else in-process loader.
@@ -244,9 +271,17 @@ def main():
         # ---- iteration-based RSN training (reference train.py:69-115) ----
         from udp_pose_tpu.utils.checkpoint import (load_iter_checkpoint,
                                                    save_iter_checkpoint)
+        if ckpt_backend is not None:
+            def save_iter_checkpoint(out, st, it):  # noqa: F811
+                ckpt_backend.save(st, {"iteration": int(it)})
         start_iter = 0
         if cfg.AUTO_RESUME:
-            state, start_iter = load_iter_checkpoint(final_output_dir, state)
+            if ckpt_backend is not None:
+                state, start_iter = load_any(ckpt_backend, final_output_dir,
+                                             state, iter_mode=True)
+            else:
+                state, start_iter = load_iter_checkpoint(final_output_dir,
+                                                         state)
             if start_iter:
                 logger.info(f"=> resumed at iteration {start_iter}")
 
@@ -295,6 +330,15 @@ def main():
                     (iteration + 1) % ckpt_period == 0:
                 save_iter_checkpoint(final_output_dir, state, iteration)
             t_end = time.time()
+            if guard.should_stop(num_shards,
+                                 sync=(iteration % cfg.PRINT_FREQ == 0)):
+                if is_main:
+                    save_iter_checkpoint(final_output_dir, state, iteration)
+                if ckpt_backend is not None:
+                    ckpt_backend.wait()
+                logger.info(f"=> preempted: saved iteration checkpoint "
+                            f"{iteration}; exiting")
+                return
         if is_main:
             save_iter_checkpoint(final_output_dir, state, max_iters - 1)
         name_values, perf = validate(
@@ -305,6 +349,8 @@ def main():
         if is_main:
             save_final(os.path.join(final_output_dir,
                                     "final_state.msgpack"), state)
+        if ckpt_backend is not None:
+            ckpt_backend.wait()
         return
 
     global_step = 0
@@ -315,7 +361,10 @@ def main():
         loss_sum, loss_cnt = None, 0
         acc_meter = AverageMeter()
         t_end = time.time()
+        skip = resume_skip if epoch == begin_epoch else 0
         for i, batch in enumerate(make_epoch_iter(epoch)):
+            if i < skip:      # mid-epoch resume: replay the epoch-seeded
+                continue      # batch order, skip the consumed prefix
             if is_rsn:
                 device_batch = shard_batch(mesh, {
                     "image": batch["image"],
@@ -377,6 +426,21 @@ def main():
                                       hm, prefix, pred_joints=pred * 4)
             t_end = time.time()
             global_step += 1
+            # multi-host: only act on the OR-reduced flag, and only at a
+            # step every host reaches (the allgather is a collective)
+            if guard.should_stop(num_shards,
+                                 sync=(i % cfg.PRINT_FREQ == 0)):
+                if is_main and ckpt_backend is not None:
+                    ckpt_backend.save(state, {"epoch": epoch - 1,
+                                              "perf": best_perf,
+                                              "step_in_epoch": i + 1})
+                    ckpt_backend.wait()
+                elif is_main:
+                    save_checkpoint(final_output_dir, state, epoch - 1,
+                                    best_perf, step_in_epoch=i + 1)
+                logger.info(f"=> preempted: saved mid-epoch checkpoint "
+                            f"(epoch {epoch} step {i + 1}); exiting")
+                return
 
         name_values, perf = validate(
             cfg, val_ds, model, eval_variables(state),
@@ -388,7 +452,14 @@ def main():
 
         best = perf > best_perf
         best_perf = max(best_perf, perf)
-        if is_main:     # rank-0 checkpointing (reference engine.py:162-169)
+        if is_main and ckpt_backend is not None:
+            # async: the write commits in the background while the next
+            # epoch trains (model_best stays a msgpack weights artifact)
+            ckpt_backend.save(state, {"epoch": epoch, "perf": perf})
+            if best:
+                save_weights(os.path.join(final_output_dir,
+                                          "model_best.msgpack"), state)
+        elif is_main:   # rank-0 checkpointing (reference engine.py:162-169)
             save_checkpoint(final_output_dir, state, epoch, perf,
                             is_best=best)
 
@@ -396,6 +467,8 @@ def main():
         save_weights(os.path.join(final_output_dir, "final_state.msgpack"),
                      state)
         logger.info(f"=> saved final state to {final_output_dir}")
+    if ckpt_backend is not None:
+        ckpt_backend.wait()
 
 
 if __name__ == "__main__":

@@ -269,6 +269,9 @@ def default_config() -> Node:
     c.TPU.QUANTIZE = ""        # "" | "int8": PTQ serving mode (models/quantize.py)
     c.TPU.QUANTIZE_CALIB_BATCHES = 2  # batches used for amax calibration
     c.TPU.QAT = ""             # "" | "int8": quantization-aware training
+    c.TPU.CKPT_BACKEND = "msgpack"  # "msgpack" | "orbax" (async, per-shard
+    #                           parallel IO — utils/orbax_ckpt.py)
+    c.TPU.CKPT_MAX_TO_KEEP = 2  # orbax retention (rolling checkpoints)
     return c
 
 

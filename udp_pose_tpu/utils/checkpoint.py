@@ -22,11 +22,17 @@ def _to_host(tree):
     return jax.tree_util.tree_map(np.asarray, tree)
 
 
-def save_checkpoint(output_dir, state, epoch, perf, is_best=False):
+def save_checkpoint(output_dir, state, epoch, perf, is_best=False,
+                    step_in_epoch=0):
+    """``step_in_epoch`` > 0 marks a MID-epoch (preemption) save: the
+    state has consumed that many batches of epoch ``epoch + 1``; resume
+    skips the prefix (the loader is epoch-seeded + deterministic, so the
+    continuation is exact — see utils/preemption.py)."""
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
     payload = {
         "epoch": epoch,
+        "step_in_epoch": int(step_in_epoch),
         "perf": float(perf),
         # to_state_dict flattens optax's NamedTuple/tuple state into dicts
         "state": serialization.to_state_dict(
@@ -159,10 +165,13 @@ def _unflatten_tree(flat):
 
 def load_checkpoint(output_dir, state):
     """Restore a TrainState from checkpoint.msgpack; returns
-    (state, begin_epoch, best_perf) or (state, 0, 0.0) if absent."""
+    (state, begin_epoch, best_perf, step_in_epoch) or (state, 0, 0.0, 0)
+    if absent.  ``step_in_epoch`` > 0 → the save was mid-epoch
+    (preemption): resume epoch ``begin_epoch`` skipping that many
+    batches."""
     ckpt = Path(output_dir) / "checkpoint.msgpack"
     if not ckpt.exists():
-        return state, 0, 0.0
+        return state, 0, 0.0, 0
     with open(ckpt, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
     tpl = {"params": state.params, "batch_stats": state.batch_stats,
@@ -172,4 +181,5 @@ def load_checkpoint(output_dir, state):
                           batch_stats=restored["batch_stats"],
                           opt_state=restored["opt_state"],
                           step=restored["step"])
-    return state, int(payload["epoch"]) + 1, float(payload["perf"])
+    return (state, int(payload["epoch"]) + 1, float(payload["perf"]),
+            int(payload.get("step_in_epoch", 0)))
