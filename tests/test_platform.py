@@ -1,0 +1,80 @@
+"""Platform helpers: persistent XLA compilation cache.
+
+The reference (torch eager) has no compile step to cache; our jit graphs
+cost 1-7 min cold, so serving daemons / preempted trainers opt into a
+disk cache via ``TPU.COMPILATION_CACHE`` or ``$UDP_POSE_COMPILATION_CACHE``
+(utils/platform.py).  Covers: disabled by default, env + explicit-arg
+enablement (arg wins), and a functional check that a jit compile actually
+writes reloadable executable entries into the directory.
+"""
+
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+
+
+def _snapshot_cache_config():
+    names = ("jax_compilation_cache_dir",
+             "jax_persistent_cache_min_compile_time_secs",
+             "jax_persistent_cache_min_entry_size_bytes")
+    return {n: getattr(jax.config, n) for n in names}
+
+
+def _restore_cache_config(snap):
+    for n, v in snap.items():
+        jax.config.update(n, v)
+
+
+def test_disabled_by_default(monkeypatch):
+    from udp_pose_tpu.utils.platform import maybe_enable_compilation_cache
+    monkeypatch.delenv("UDP_POSE_COMPILATION_CACHE", raising=False)
+    snap = _snapshot_cache_config()
+    try:
+        assert maybe_enable_compilation_cache("") == ""
+        assert getattr(jax.config, "jax_compilation_cache_dir") == \
+            snap["jax_compilation_cache_dir"]
+    finally:
+        _restore_cache_config(snap)
+
+
+def test_env_and_arg_enable(tmp_path, monkeypatch):
+    from udp_pose_tpu.utils.platform import maybe_enable_compilation_cache
+    snap = _snapshot_cache_config()
+    try:
+        env_dir = tmp_path / "env_cache"
+        monkeypatch.setenv("UDP_POSE_COMPILATION_CACHE", str(env_dir))
+        assert maybe_enable_compilation_cache("") == str(env_dir)
+        assert env_dir.is_dir()
+
+        # the explicit config value (TPU.COMPILATION_CACHE) wins over env
+        cfg_dir = tmp_path / "cfg_cache"
+        assert maybe_enable_compilation_cache(str(cfg_dir)) == str(cfg_dir)
+        assert getattr(jax.config, "jax_compilation_cache_dir") == \
+            str(cfg_dir)
+    finally:
+        _restore_cache_config(snap)
+
+
+def test_compile_writes_cache_entries(tmp_path, monkeypatch):
+    """A jit compile lands serialized executables in the cache dir."""
+    from udp_pose_tpu.utils.platform import maybe_enable_compilation_cache
+    monkeypatch.delenv("UDP_POSE_COMPILATION_CACHE", raising=False)
+    snap = _snapshot_cache_config()
+    try:
+        d = maybe_enable_compilation_cache(str(tmp_path / "xc"))
+        assert d
+        # CPU-backend compiles of tiny graphs are sub-0.5 s; drop the
+        # threshold so this test's compile qualifies for persistence
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+        @jax.jit
+        def f(x):
+            return jnp.tanh(x) @ x.T + 1.0
+
+        f(jnp.ones((32, 32), jnp.float32)).block_until_ready()
+        entries = glob.glob(os.path.join(d, "*"))
+        assert entries, "no persistent-cache entries written"
+    finally:
+        _restore_cache_config(snap)

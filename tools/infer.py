@@ -119,6 +119,8 @@ def main():
     from udp_pose_tpu.engine.pose_engine import UdpPosePipeline
 
     cfg = load_config(args.pose_cfg, args.opts)
+    from udp_pose_tpu.utils.platform import maybe_enable_compilation_cache
+    maybe_enable_compilation_cache(cfg.TPU.COMPILATION_CACHE)
     if args.fused and not args.detector:
         raise SystemExit("--fused needs --detector")
     if args.low_bw and not args.fused:

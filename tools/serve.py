@@ -53,8 +53,12 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
-    from udp_pose_tpu.utils.platform import maybe_force_platform
+    from udp_pose_tpu.utils.platform import (
+        maybe_enable_compilation_cache, maybe_force_platform)
     maybe_force_platform()
+    # daemon restarts skip the 1-7 min cold compile when
+    # $UDP_POSE_COMPILATION_CACHE points at a persistent dir
+    maybe_enable_compilation_cache()
 
     from udp_pose_tpu.engine.server import PoseServer, PoseService
 

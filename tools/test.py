@@ -30,8 +30,10 @@ def main():
     cfg = default_config()
     update_config(cfg, args)
 
-    from udp_pose_tpu.utils.platform import maybe_force_platform
+    from udp_pose_tpu.utils.platform import (
+        maybe_enable_compilation_cache, maybe_force_platform)
     maybe_force_platform()
+    maybe_enable_compilation_cache(cfg.TPU.COMPILATION_CACHE)
     from udp_pose_tpu.parallel.multihost import (maybe_initialize_from_env,
                                                  process_shard_info)
     maybe_initialize_from_env()

@@ -272,6 +272,8 @@ def default_config() -> Node:
     c.TPU.CKPT_BACKEND = "msgpack"  # "msgpack" | "orbax" (async, per-shard
     #                           parallel IO — utils/orbax_ckpt.py)
     c.TPU.CKPT_MAX_TO_KEEP = 2  # orbax retention (rolling checkpoints)
+    c.TPU.COMPILATION_CACHE = ""  # dir for the persistent XLA executable
+    #                           cache (cold-start; utils/platform.py)
     return c
 
 

@@ -20,3 +20,31 @@ def maybe_force_platform():
                 os.environ.get("XLA_FLAGS", ""):
             # single host device unless the caller asked for more
             pass
+
+
+def maybe_enable_compilation_cache(cache_dir: str = ""):
+    """Persistent XLA compilation cache (serving/training cold-start).
+
+    A full-size HRNet graph costs 1-7 min to compile; a restarted
+    serving daemon or a preempted-and-rescheduled trainer pays it
+    again from scratch.  With a cache dir set (``TPU.COMPILATION_CACHE``
+    or ``$UDP_POSE_COMPILATION_CACHE``), XLA-compiled executables are
+    serialized to disk keyed by HLO+flags and reloaded on the next
+    process start.  The reference has no equivalent (torch eager).
+
+    Returns the directory enabled, or "" when disabled.  Call before
+    the first jit compilation (later calls still work but earlier
+    compiles are not cached).
+    """
+    d = cache_dir or os.environ.get("UDP_POSE_COMPILATION_CACHE", "")
+    if not d:
+        return ""
+    d = os.path.abspath(d)
+    os.makedirs(d, exist_ok=True)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", d)
+    # cache every real model graph, skip only trivial jits
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return d
