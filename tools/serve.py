@@ -56,9 +56,11 @@ def main(argv=None):
     from udp_pose_tpu.utils.platform import (
         maybe_enable_compilation_cache, maybe_force_platform)
     maybe_force_platform()
-    # daemon restarts skip the 1-7 min cold compile when
-    # $UDP_POSE_COMPILATION_CACHE points at a persistent dir
-    maybe_enable_compilation_cache()
+    # daemon restarts skip the 1-7 min cold compile when the yaml sets
+    # TPU.COMPILATION_CACHE (or $UDP_POSE_COMPILATION_CACHE is exported)
+    from udp_pose_tpu.config import load_config
+    cfg = load_config(args.cfg)
+    maybe_enable_compilation_cache(cfg.TPU.COMPILATION_CACHE)
 
     from udp_pose_tpu.engine.server import PoseServer, PoseService
 
@@ -67,7 +69,7 @@ def main(argv=None):
         from udp_pose_tpu.utils.checkpoint import load_weights
         det_weights = load_weights(args.detector_weights)
     service = PoseService(
-        args.cfg, weights=args.weights or None, flip_test=args.flip,
+        cfg, weights=args.weights or None, flip_test=args.flip,
         quantize=args.quantize, act_scales=args.act_scales or None,
         max_batch=args.max_batch, window_ms=args.window_ms,
         detector=args.detector, detector_weights=det_weights,
