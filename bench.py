@@ -154,6 +154,16 @@ def _run(result):
     except Exception as e:          # secondary metric must not kill the run
         log(f"train bench failed: {e!r}")
 
+    # ---- RSN18 train step (the RSN stack is where the reference burns
+    # its training GPU-hours: 8xV100 iteration-based DDP, RSN/README.md:69;
+    # study + batch scan in DESIGN.md / tools/profile_rsn_train.py) -------
+    mark("rsn18 train step")
+    try:
+        result["train_samples_per_sec_rsn18"] = round(
+            bench_rsn_train(jax, jnp), 1)
+    except Exception as e:
+        log(f"rsn train bench failed: {e!r}")
+
     # ---- secondary model zoo points (BASELINE.md matrix) ----------------
     # batch picks are the measured knees: RSN18 6503@128 > 5905@256 >
     # 5296@512; shufflenet 8729@256 > 7449@512
@@ -434,6 +444,56 @@ def bench_train(jax, jnp, batch=128):
     log(f"train step B={batch}: {sps:.1f} samples/s ({best * 1e3:.2f} ms, "
         f"~{tflops:.1f} TF/s)")
     return sps, tflops
+
+
+def bench_rsn_train(jax, jnp, batch=128):
+    """RSN18 train-step samples/s (fwd+bwd+adam, 5-kernel label pyramid,
+    OHKM loss — the reference's RSN/exps/RSN18.coco/train.py workload).
+    B=128 is the measured knee (tools/profile_rsn_train.py batch scan)."""
+    from udp_pose_tpu.core.rsn import make_rsn_optimizer, make_rsn_train_step
+    from udp_pose_tpu.core.train import TrainState
+    from udp_pose_tpu.models import build_model
+
+    cfg = _rsn18_cfg()
+    model = build_model(cfg)
+    variables = jax.jit(
+        lambda r: model.init(r, jnp.zeros((1, 256, 192, 3)), train=False)
+    )(jax.random.PRNGKey(0))
+    tx = make_rsn_optimizer(cfg.TRAIN.LR, cfg.TRAIN.WD, 96000)
+    state = TrainState.create(
+        lambda v, x, **kw: model.apply(v, x, **kw),
+        variables["params"], variables["batch_stats"], tx)
+    step_fn = make_rsn_train_step(cfg.MODEL.EXTRA["STAGE_NUM"],
+                                  ohkm=cfg.LOSS.USE_OHKM, topk=cfg.LOSS.TOPK)
+    rng_np = np.random.default_rng(5)
+    device_batch = {
+        "image": jax.device_put(rng_np.integers(
+            0, 256, (batch, 256, 192, 3)).astype(np.uint8)),
+        "labels": jax.device_put(rng_np.uniform(
+            0, 255, (batch, 5, 17, 64, 48)).astype(np.float32)),
+        "valid": jax.device_put(np.ones((batch, 17, 1), np.float32)),
+    }
+    checksum = jax.jit(lambda s: sum(
+        jnp.sum(x.astype(jnp.float32))
+        for x in jax.tree_util.tree_leaves(s.params)[:3]))
+
+    def run(iters, state):
+        for _ in range(iters):
+            state, _ = step_fn(state, dict(device_batch))
+        float(checksum(state))
+        return state
+
+    state = run(2, state)
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        state = run(6, state)
+        dt = (time.perf_counter() - t0) / 6
+        best = dt if best is None else min(best, dt)
+    sps = batch / best
+    log(f"rsn18 train step B={batch}: {sps:.1f} samples/s "
+        f"({best * 1e3:.2f} ms)")
+    return sps
 
 
 def bench_engine(jax, frames=24):

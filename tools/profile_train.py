@@ -38,17 +38,25 @@ def main(variants, B=128):
     }
     device_batch = {k: jax.device_put(v) for k, v in batch_np.items()}
 
-    def build_state(modules=(1, 4, 3), remat_stem=False):
-        cfg = _hrnet_w32_cfg((192, 256), (48, 64), dtype="bfloat16")
+    def build_state(modules=(1, 4, 3), remat_stem=False, w48=False):
+        cfg = _hrnet_w32_cfg((288, 384) if w48 else (192, 256),
+                             (72, 96) if w48 else (48, 64),
+                             dtype="bfloat16")
         for k, m in zip(("STAGE2", "STAGE3", "STAGE4"), modules):
             cfg.MODEL.EXTRA[k]["NUM_MODULES"] = m
+        if w48:   # second flagship: w48 channel widths (README.md:46)
+            for st, chs in (("STAGE2", [48, 96]), ("STAGE3", [48, 96, 192]),
+                            ("STAGE4", [48, 96, 192, 384])):
+                cfg.MODEL.EXTRA[st]["NUM_CHANNELS"] = chs
         model = build_model(cfg)
         if remat_stem:
             model = model.clone(remat_stem=True)
         state = create_train_state(cfg, model, jax.random.PRNGKey(0), 1000)
         return cfg, model, state
 
-    def timeit(name, state, step_fn, prep, iters=6, blocks=2):
+    def timeit(name, state, step_fn, prep, iters=6, blocks=2, gf=7.16,
+               B_local=None):
+        Bn = B_local or B
         checksum = jax.jit(lambda s: jnp.sum(
             s.params["final_layer"]["kernel"].astype(jnp.float32)))
 
@@ -65,8 +73,8 @@ def main(variants, B=128):
             state = run(iters, state)
             dt = (time.perf_counter() - t0) / iters
             best = dt if best is None else min(best, dt)
-        sps = B / best
-        tfs = sps * 7.16e9 * 3 / 1e12
+        sps = Bn / best
+        tfs = sps * gf * 1e9 * 3 / 1e12
         print(f"{name:28s} {best * 1e3:8.2f} ms  {sps:8.1f} samples/s "
               f"(~{tfs:.1f} TF/s)", flush=True)
         return best
@@ -199,6 +207,35 @@ def main(variants, B=128):
             cfg, model, state = build_state(remat_stem=True)
             step = make_train_step(make_loss_fn(cfg))
             results[v] = timeit("v_remat_stem", state, step, prep_norm)
+        elif v.startswith("v_w48_b"):
+            # second flagship: HRNet-w48 384x288 offset (README.md:46);
+            # fwd FLOPs from compiled cost_analysis (~35.4 GF/crop)
+            Bw = int(v[len("v_w48_b"):])
+            cfg, model, state = build_state(w48=True)
+            from udp_pose_tpu.utils.summary import model_flops
+            try:
+                variables = {"params": state.params,
+                             "batch_stats": state.batch_stats}
+                gf = model_flops(model, variables, (1, 384, 288, 3)) / 1e9
+            except Exception:
+                gf = 35.4
+            wb = {
+                "image": jax.device_put(rng_np.integers(
+                    0, 256, (Bw, 384, 288, 3)).astype(np.uint8)),
+                "target": jax.device_put(rng_np.normal(
+                    size=(Bw, 51, 96, 72)).astype(np.float32)),
+                "target_weight": jax.device_put(rng_np.uniform(
+                    size=(Bw, 17)).astype(np.float32)),
+            }
+
+            def prep_w48():
+                db = dict(wb)
+                db["image"] = normalize_images(db["image"])
+                return db
+
+            step = make_train_step(make_loss_fn(cfg))
+            results[v] = timeit(f"w48@384 B={Bw}", state, step, prep_w48,
+                                gf=gf, B_local=Bw)
         elif v.startswith("v_mod_"):
             # marginal stage cost, e.g. v_mod_1_1_3
             mods = tuple(int(c) for c in v.split("_")[2:])
