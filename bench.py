@@ -67,6 +67,16 @@ def main():
 def _run(result):
     import os
 
+    # NOTE: do NOT enable the persistent compilation cache here.  It
+    # would collapse this bench's ~8 minutes-long remote compiles, but
+    # measured on the axon relay (2026-08-19): a warm-cache rerun of a
+    # tiny resnet50 graph took 190.8s and wrote no new entries — i.e.
+    # the relay recompiles despite the disk hit (its executables do not
+    # round-trip deserialization), and a cache-enabled serving probe
+    # fell from a <10-min full scan to no progress in 18 min.  The
+    # cache stays a CPU-platform feature (dryrun_multichip, CLIs with
+    # TPU.COMPILATION_CACHE on locally-attached hardware).
+
     import jax
     import jax.numpy as jnp
 

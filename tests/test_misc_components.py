@@ -285,3 +285,16 @@ print("UNREACHABLE")
     parsed = json.loads(line)
     assert parsed["partial"] is True
     assert "backend init exceeded" in parsed["error"]
+
+
+def test_profile_tools_import():
+    """The profiling tools (TPU-driven by hand, not by CI) must at least
+    import cleanly so refactors of the APIs they consume fail loudly."""
+    import importlib
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                    "..", "tools"))
+    for mod in ("profile_train", "profile_rsn_train", "profile_int8",
+                "profile_serve"):
+        m = importlib.import_module(mod)
+        assert callable(getattr(m, "main"))

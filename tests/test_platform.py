@@ -78,3 +78,24 @@ def test_compile_writes_cache_entries(tmp_path, monkeypatch):
         assert entries, "no persistent-cache entries written"
     finally:
         _restore_cache_config(snap)
+
+
+def test_refused_on_axon_relay(tmp_path, monkeypatch, capsys):
+    """On the axon relay platform the cache must refuse to enable:
+    measured there, entries write but never reload (a warm rerun
+    recompiles at full cost and a cache-enabled serving warmup stalled),
+    so enabling it only adds serialization overhead."""
+    from udp_pose_tpu.utils.platform import maybe_enable_compilation_cache
+    snap = _snapshot_cache_config()
+    plat_snap = jax.config.jax_platforms
+    try:
+        jax.config.update("jax_platforms", "axon")
+        d = tmp_path / "axon_cache"
+        assert maybe_enable_compilation_cache(str(d)) == ""
+        assert not d.exists()
+        assert getattr(jax.config, "jax_compilation_cache_dir") == \
+            snap["jax_compilation_cache_dir"]
+        assert "axon" in capsys.readouterr().err
+    finally:
+        jax.config.update("jax_platforms", plat_snap)
+        _restore_cache_config(snap)

@@ -35,13 +35,27 @@ def maybe_enable_compilation_cache(cache_dir: str = ""):
     Returns the directory enabled, or "" when disabled.  Call before
     the first jit compilation (later calls still work but earlier
     compiles are not cached).
+
+    Refused on the axon relay platform: measured there (2026-08-19),
+    entries write but do not reload — a warm rerun recompiles at full
+    cost (190.8s for a small graph) and a cache-enabled serving warmup
+    stalled >18 min, so enabling the cache only adds serialization
+    overhead.  CPU and locally-attached TPU platforms keep the cache.
     """
     d = cache_dir or os.environ.get("UDP_POSE_COMPILATION_CACHE", "")
     if not d:
         return ""
+    import jax
+
+    plats = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+    if "axon" in str(plats):
+        import sys
+        print("compilation cache disabled: the axon relay does not "
+              "reload cached executables (see utils/platform.py)",
+              file=sys.stderr)
+        return ""
     d = os.path.abspath(d)
     os.makedirs(d, exist_ok=True)
-    import jax
 
     jax.config.update("jax_compilation_cache_dir", d)
     # cache every real model graph, skip only trivial jits
