@@ -142,6 +142,68 @@ def test_concurrent_requests_coalesce(tiny_cfg):
         svc.close()
 
 
+def test_pad_on_device_matches_host_pad(tiny_cfg):
+    """--pad-on-device (device_put real rows + on-device zero-pad) must
+    return the same keypoints as the host-tiled padding path: padded
+    rows are row-independent and discarded, so the fill value cannot
+    matter."""
+    from udp_pose_tpu.engine.server import PoseService
+    cfg, _ = tiny_cfg
+    img = _frame(7)
+    svc_host = PoseService(cfg, max_batch=64, window_ms=0.0)
+    svc_dev = PoseService(cfg, max_batch=64, window_ms=0.0,
+                          pad_on_device=True)
+    try:
+        ref = svc_host.pose(img, BOXES)          # 3 crops -> bucket 4
+        out = svc_dev.pose(img, BOXES)
+        assert svc_dev.batcher._pad_fns, "pad jit never engaged"
+        np.testing.assert_allclose(out["keypoints"], ref["keypoints"],
+                                   atol=1e-5)
+        np.testing.assert_allclose(out["scores"], ref["scores"],
+                                   atol=1e-6)
+        # exact-bucket batch (4 crops, pad 0) must skip the pad graph
+        boxes4 = np.concatenate([BOXES, BOXES[:1]])
+        n_fns = len(svc_dev.batcher._pad_fns)
+        out4 = svc_dev.pose(img, boxes4)
+        assert len(svc_dev.batcher._pad_fns) == n_fns
+        assert out4["keypoints"].shape[0] == 4
+    finally:
+        svc_host.close()
+        svc_dev.close()
+
+
+def test_pad_on_device_int8_calibration_sees_buckets(tiny_cfg):
+    """int8 + --pad-on-device: while calibrating, the batcher must feed
+    calibrate_crops BUCKET-shaped (host-tiled) batches — its collector
+    jit is shape-keyed, so off-bucket totals would recompile the full
+    forward per distinct total — and only engage the device-pad graph
+    after the scales freeze."""
+    from udp_pose_tpu.engine.server import PoseService
+    cfg, _ = tiny_cfg
+    cfg = cfg.clone()
+    cfg.defrost()
+    cfg.TPU.QUANTIZE_CALIB_BATCHES = 2
+    img = _frame(11)
+    svc = PoseService(cfg, quantize="int8", max_batch=64, window_ms=0.0,
+                      pad_on_device=True)
+    try:
+        seen = []
+        orig = svc.pipe.calibrate_crops
+        svc.pipe.calibrate_crops = lambda c: (seen.append(c.shape[0]),
+                                              orig(c))[1]
+        svc.pose(img, BOXES)                     # calib 1 (3 -> bucket 4)
+        assert not svc.batcher._pad_fns          # host-tiled during calib
+        svc.pose(img, BOXES)                     # calib 2 -> freeze
+        assert svc.pipe.act_scales is not None
+        assert seen == [4, 4], "calibration saw off-bucket shapes"
+        out = svc.pose(img, BOXES)               # int8 + device pad
+        assert svc.batcher._pad_fns, "device pad never engaged post-freeze"
+        assert np.isfinite(out["keypoints"]).all()
+        assert out["keypoints"].shape == (3, 17, 2)
+    finally:
+        svc.close()
+
+
 @pytest.fixture(scope="module")
 def http_server(service):
     from udp_pose_tpu.engine.server import PoseServer
@@ -251,6 +313,58 @@ def test_detect_pose_inprocess(tiny_cfg):
         n = len(out["boxes"])
         assert np.asarray(out["keypoints"]).shape == (n, 17, 2)
         assert np.asarray(out["det_scores"]).shape == (n,)
+    finally:
+        svc.close()
+
+
+def test_detect_pose_frames_coalesce(tiny_cfg):
+    """Concurrent /v1/detect_pose callers with same-resolution frames
+    must coalesce into one vmapped infer_frames dispatch (the old code
+    serialised them behind a lock), and each caller's result must match
+    its own single-frame answer.  Mixed resolutions split into separate
+    dispatches within the drained batch."""
+    from udp_pose_tpu.engine.server import PoseService
+    cfg, _ = tiny_cfg
+    svc = PoseService(cfg, detector="yolov5n", max_persons=4,
+                      det_kwargs={"det_size": 192}, window_ms=250.0,
+                      max_frames=8)
+    try:
+        frames = [_frame(20 + i, hw=(144, 192)) for i in range(4)]
+        other = _frame(30, hw=(96, 128))
+        # singles first: compiles + golden per-frame answers
+        singles = [svc.fused.infer_frame(f) for f in frames]
+        svc.fused.infer_frame(other)
+        svc.fused.infer_frames(np.stack(frames))          # compile F=4
+        n_before = len(svc.frame_batcher.batch_log)
+
+        results = [None] * 5
+        errs = []
+
+        def worker(i):
+            try:
+                results[i] = (svc.detect_pose(frames[i]) if i < 4
+                              else svc.detect_pose(other))
+            except Exception as e:               # pragma: no cover
+                errs.append(e)
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(5)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert not errs
+        log = list(svc.frame_batcher.batch_log)[n_before:]
+        assert sum(log) == 5
+        assert max(log) > 1, "no frames coalesced"
+        for i in range(4):
+            np.testing.assert_allclose(results[i]["boxes"],
+                                       singles[i]["boxes"], atol=1e-4)
+            np.testing.assert_allclose(results[i]["keypoints"],
+                                       singles[i]["keypoints"],
+                                       rtol=1e-4, atol=1e-3)
+        n = len(results[4]["boxes"])
+        assert np.asarray(results[4]["keypoints"]).shape == (n, 17, 2)
     finally:
         svc.close()
 

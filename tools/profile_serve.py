@@ -80,6 +80,9 @@ def main(thread_counts):
 
     for tag, kwargs in (("batched (window 3ms, max 64)",
                          dict(max_batch=64, window_ms=3.0)),
+                        ("batched + pad-on-device",
+                         dict(max_batch=64, window_ms=3.0,
+                              pad_on_device=True)),
                         ("unbatched (max_batch 1)",
                          dict(max_batch=1, window_ms=0.0))):
         service = PoseService(cfg, flip_test=False, **kwargs)
@@ -96,6 +99,20 @@ def main(thread_counts):
                                   np.tile(c1, (n, 1)), np.tile(s1, (n, 1)))
             print(f"  warmed bucket {n}", file=sys.stderr, flush=True)
             n *= 2
+        if kwargs.get("pad_on_device"):
+            # every reachable total is a multiple of the 4-crop request;
+            # warm each (total, pad) pair so its tiny pad jit doesn't
+            # compile mid-measurement (pad==0 totals skip the pad graph
+            # and are already warm from the bucket loop above)
+            from udp_pose_tpu.engine.pose_engine import _next_bucket
+            for n in range(4, kwargs["max_batch"] + 1, 4):
+                if _next_bucket(n) == n:
+                    continue
+                service.batcher.infer(
+                    np.tile(crops1, (n, 1, 1, 1)),
+                    np.tile(c1, (n, 1)), np.tile(s1, (n, 1)))
+            print("  warmed pad jits (totals 4..max step 4)",
+                  file=sys.stderr, flush=True)
         run_load(service, img, boxes, max(thread_counts), 2)
         print(f"--- {tag}", flush=True)
         for n in thread_counts:

@@ -35,6 +35,11 @@ def parse_args(argv=None):
                    help="force flip-test off (serving protocol)")
     p.add_argument("--max-batch", type=int, default=64,
                    help="max crops per device dispatch")
+    p.add_argument("--pad-on-device", action="store_true",
+                   help="upload only real crop rows and zero-pad to the "
+                        "bucket on device — saves host->device bytes on "
+                        "bandwidth-starved links at the cost of one extra "
+                        "pipelined dispatch per batch (DESIGN.md probe)")
     p.add_argument("--window-ms", type=float, default=3.0,
                    help="micro-batch collection window after the first "
                         "request")
@@ -43,6 +48,11 @@ def parse_args(argv=None):
                         "(n/s/m/l or yolov5n/...)")
     p.add_argument("--detector-weights", default="")
     p.add_argument("--max-persons", type=int, default=16)
+    p.add_argument("--max-frames", type=int, default=8,
+                   help="cross-request FRAME batching cap for "
+                        "/v1/detect_pose: same-resolution frames from "
+                        "concurrent clients coalesce into one vmapped "
+                        "fused dispatch (1 disables)")
     p.add_argument("--quantize", default=None, choices=[None, "", "int8"],
                    help="int8 = w8a8 PTQ serving (self-calibrates on the "
                         "first batches); '' forces off")
@@ -73,7 +83,8 @@ def main(argv=None):
         quantize=args.quantize, act_scales=args.act_scales or None,
         max_batch=args.max_batch, window_ms=args.window_ms,
         detector=args.detector, detector_weights=det_weights,
-        max_persons=args.max_persons)
+        max_persons=args.max_persons, pad_on_device=args.pad_on_device,
+        max_frames=args.max_frames)
     server = PoseServer(service, host=args.host, port=args.port)
 
     def stop(signum, frame):

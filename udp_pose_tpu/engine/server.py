@@ -15,7 +15,9 @@ Stdlib-only (``http.server``); no web framework.  Endpoints:
   GET  /metrics         Prometheus text: request counts, latency quantiles,
                         batch occupancy, persons served
   POST /v1/pose         image + boxes → keypoints (top-down, micro-batched)
-  POST /v1/detect_pose  image → boxes + keypoints (fused detect+pose graph)
+  POST /v1/detect_pose  image → boxes + keypoints (fused detect+pose graph;
+                        same-resolution frames from concurrent requests
+                        coalesce into one vmapped dispatch — FrameBatcher)
 
 Request bodies: ``application/json`` with ``{"image_b64": ..., "boxes":
 [[x1,y1,x2,y2], ...]}``; or raw ``image/jpeg`` / ``image/png`` /
@@ -81,12 +83,22 @@ class CropBatcher:
     jit cache entry per bucket), runs ONE forward, and scatters results
     back.  int8 engines self-calibrate exactly like the fused --low-bw
     path: warmup batches serve bf16 while recording per-conv amax, then
-    the batcher retraces around the quantized model."""
+    the batcher retraces around the quantized model.
 
-    def __init__(self, pipe, max_batch=64, window_ms=3.0):
+    ``pad_on_device=True`` uploads only the real crop rows (one
+    ``device_put``) and zero-pads to the bucket on the device through a
+    tiny cached jit, so the host→device link never carries padding
+    bytes — up to ~40% of the bucket at the occupancies the load probe
+    measured (DESIGN.md).  Costs one extra (pipelined) dispatch per
+    batch, so it is an opt-in for bandwidth-starved links."""
+
+    def __init__(self, pipe, max_batch=64, window_ms=3.0,
+                 pad_on_device=False):
         self.pipe = pipe
         self.max_batch = int(max_batch)
         self.window_s = float(window_ms) / 1e3
+        self.pad_on_device = bool(pad_on_device)
+        self._pad_fns = {}             # pad rows -> jitted zero-pad
         self._q = queue.Queue()
         self._infer = None
         self._infer_fp = None          # bf16 graph used while calibrating
@@ -157,17 +169,35 @@ class CropBatcher:
         scale = np.concatenate([j.scale for j in batch])
         bucket = _next_bucket(total)
         pad = bucket - total
+        calibrating = pipe.quantize == "int8" and pipe.act_scales is None
         if pad:
-            crops = np.concatenate([crops, np.tile(crops[:1],
-                                                   (pad, 1, 1, 1))])
             center = np.concatenate([center, np.tile(center[:1], (pad, 1))])
             scale = np.concatenate([scale, np.tile(scale[:1], (pad, 1))])
+            if self.pad_on_device and not calibrating:
+                # upload only the real rows; zero-pad to the bucket on
+                # device (padded rows are decoded and discarded, row-
+                # independent math).  One tiny jit per pad count; jax
+                # re-keys it per input shape.  During int8 calibration
+                # we host-tile instead: calibrate_crops is shape-keyed,
+                # so it must only ever see bucketed shapes (and a tiled
+                # real row cannot perturb an amax).
+                fn = self._pad_fns.get(pad)
+                if fn is None:
+                    import jax.numpy as jnp
+                    fn = jax.jit(lambda x, _p=pad: jnp.pad(
+                        x, ((0, _p), (0, 0), (0, 0), (0, 0))))
+                    self._pad_fns[pad] = fn
+                crops = fn(jax.device_put(crops))
+            else:
+                crops = np.concatenate([crops, np.tile(crops[:1],
+                                                       (pad, 1, 1, 1))])
         self.batch_log.append(total)
-
-        if pipe.quantize == "int8" and pipe.act_scales is None:
-            # calibration phase: record amax on this (bf16-served) batch;
-            # on freeze, pre-quantize the kernels and retrace int8
+        if calibrating:
+            # record amax on this (bf16-served, bucket-padded) batch
             pipe.calibrate_crops(crops)
+
+        if calibrating:
+            # on freeze, pre-quantize the kernels and retrace int8
             if pipe.act_scales is not None:
                 pipe._maybe_prepare()
                 self._infer = None
@@ -190,6 +220,102 @@ class CropBatcher:
             j.event.set()
 
 
+class _FrameJob:
+    __slots__ = ("frame", "event", "out", "exc")
+
+    def __init__(self, frame):
+        self.frame = frame
+        self.event = threading.Event()
+        self.out = self.exc = None
+
+
+class FrameBatcher:
+    """Cross-request FRAME batching for the fused detect+pose graph.
+
+    /v1/detect_pose used to serialise callers behind a lock — one frame
+    per dispatch, so concurrent clients queued at single-frame latency.
+    Here a dispatcher thread drains up to ``max_frames`` queued frames
+    (waiting ``window_ms`` after the first), groups them by (H, W) —
+    ``infer_frames`` jit-caches per (F, H, W), so mixed resolutions
+    cannot share a dispatch — and runs each group as ONE vmapped
+    dispatch, padded to a power-of-two frame bucket by repeating the
+    last frame.  Single frames take the unbatched single-frame graph
+    (no vmap, no pad).  The same MXU-fill argument as CropBatcher, one
+    level up: a 720p frame's detection + ≤max_persons crops still
+    under-fill the chip."""
+
+    def __init__(self, fused, max_frames=8, window_ms=3.0):
+        self.fused = fused
+        self.max_frames = max(1, int(max_frames))
+        self.window_s = float(window_ms) / 1e3
+        self._q = queue.Queue()
+        self.batch_log = deque(maxlen=4096)    # frames per dispatch
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="frame-batcher")
+        self._thread.start()
+
+    def infer(self, frame):
+        """Blocking: returns the fused engine's per-frame result dict."""
+        job = _FrameJob(frame)
+        self._q.put(job)
+        job.event.wait()
+        if job.exc is not None:
+            raise job.exc
+        return job.out
+
+    def close(self):
+        self._q.put(None)
+        self._thread.join(timeout=10)
+
+    def _loop(self):
+        while True:
+            job = self._q.get()
+            if job is None:
+                return
+            batch = [job]
+            deadline = time.monotonic() + self.window_s
+            while len(batch) < self.max_frames:
+                wait = deadline - time.monotonic()
+                if wait <= 0 and self._q.empty():
+                    break
+                try:
+                    nxt = self._q.get(timeout=max(wait, 0.0))
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._q.put(None)
+                    break
+                batch.append(nxt)
+            groups = {}
+            for j in batch:
+                groups.setdefault(j.frame.shape[:2], []).append(j)
+            for group in groups.values():
+                try:
+                    self._dispatch(group)
+                except Exception as e:
+                    for j in group:
+                        j.exc = e
+                        j.event.set()
+
+    def _dispatch(self, group):
+        self.batch_log.append(len(group))
+        if len(group) == 1:
+            group[0].out = self.fused.infer_frame(group[0].frame)
+            group[0].event.set()
+            return
+        from .pose_engine import _next_bucket
+        frames = np.stack([j.frame for j in group])
+        bucket = _next_bucket(len(group))
+        if bucket > len(group):
+            frames = np.concatenate(
+                [frames, np.repeat(frames[-1:],
+                                   bucket - len(group), axis=0)])
+        outs = self.fused.infer_frames(frames)
+        for j, out in zip(group, outs):
+            j.out = out
+            j.event.set()
+
+
 class Metrics:
     """Lock-guarded counters + latency/batch ring buffers, rendered as
     Prometheus text on scrape."""
@@ -209,7 +335,7 @@ class Metrics:
             self.latency.setdefault(endpoint, deque(maxlen=4096)).append(
                 seconds)
 
-    def render(self, batch_log=()):
+    def render(self, batch_log=(), frame_batch_log=()):
         with self._lock:
             lines = [
                 "# TYPE udp_pose_requests_total counter",
@@ -241,6 +367,14 @@ class Metrics:
             lines.append(f'udp_pose_batch_crops{{stat="max"}} {arr.max()}')
             lines.append("# TYPE udp_pose_batches_total counter")
             lines.append(f"udp_pose_batches_total {len(arr)}")
+        if frame_batch_log:
+            arr = np.asarray(frame_batch_log)
+            lines.append("# TYPE udp_pose_batch_frames gauge")
+            lines.append(f'udp_pose_batch_frames{{stat="mean"}} '
+                         f"{arr.mean():.3f}")
+            lines.append(f'udp_pose_batch_frames{{stat="max"}} {arr.max()}')
+            lines.append("# TYPE udp_pose_frame_batches_total counter")
+            lines.append(f"udp_pose_frame_batches_total {len(arr)}")
         return "\n".join(lines) + "\n"
 
 
@@ -252,17 +386,18 @@ class PoseService:
     def __init__(self, cfg, weights=None, flip_test=None, quantize=None,
                  act_scales=None, max_batch=64, window_ms=3.0,
                  detector="", detector_weights=None, max_persons=16,
-                 det_kwargs=None):
+                 det_kwargs=None, pad_on_device=False, max_frames=8):
         from .pose_engine import UdpPosePipeline
 
         self.pipe = UdpPosePipeline(cfg, weights, flip_test=flip_test,
                                     quantize=quantize,
                                     act_scales=act_scales)
         self.batcher = CropBatcher(self.pipe, max_batch=max_batch,
-                                   window_ms=window_ms)
+                                   window_ms=window_ms,
+                                   pad_on_device=pad_on_device)
         self.metrics = Metrics()
         self.fused = None
-        self._fused_lock = threading.Lock()
+        self.frame_batcher = None
         if detector:
             from .fused import FusedDetectPose
             variant = detector.replace("yolov5", "") or "n"
@@ -272,6 +407,9 @@ class PoseService:
                 flip_test=flip_test, quantize=quantize,
                 pose_act_scales=self.pipe.act_scales,
                 **(det_kwargs or {}))
+            self.frame_batcher = FrameBatcher(self.fused,
+                                              max_frames=max_frames,
+                                              window_ms=window_ms)
 
     def pose(self, img, boxes):
         """img (H, W, 3) RGB u8; boxes (N, ≥4) xyxy → result dict."""
@@ -295,8 +433,8 @@ class PoseService:
         if self.fused is None:
             raise RuntimeError(
                 "server started without --detector; /v1/detect_pose is off")
-        with self._fused_lock:          # one device graph, one caller
-            out = self.fused.infer_frame(img)
+        # concurrent callers' frames coalesce into one vmapped dispatch
+        out = self.frame_batcher.infer(img)
         return {"keypoints": out["keypoints"], "scores": out["maxvals"],
                 "boxes": out["boxes"], "det_scores": out["scores"]}
 
@@ -317,6 +455,8 @@ class PoseService:
 
     def close(self):
         self.batcher.close()
+        if self.frame_batcher is not None:
+            self.frame_batcher.close()
 
 
 def _decode_image(body, content_type):
@@ -363,9 +503,11 @@ def make_handler(service):
             if path == "/healthz":
                 self._send(200, service.state())
             elif path == "/metrics":
+                fb = service.frame_batcher
                 self._send(200,
                            service.metrics.render(
-                               tuple(service.batcher.batch_log)).encode(),
+                               tuple(service.batcher.batch_log),
+                               tuple(fb.batch_log) if fb else ()).encode(),
                            ctype="text/plain; version=0.0.4")
             else:
                 self._send(404, {"error": f"no route {path}"})
