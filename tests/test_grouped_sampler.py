@@ -115,3 +115,36 @@ def test_grouped_sharded_lockstep():
                 assert len(set(gids.tolist())) == 1   # group-pure
             counts.append(len(batches))
         assert len(set(counts)) == 1, counts
+
+
+def test_epoch_loader_skip_batches_and_plan():
+    """skip_batches must reproduce the tail of the unskipped stream
+    exactly (mid-epoch/iteration resume replays the plan, not the data),
+    and epoch_batch_indices must agree with what the loader yields —
+    it's the cheap fast-forward arithmetic the resume paths rely on."""
+    from udp_pose_tpu.data.base import epoch_batch_indices, epoch_loader
+
+    class _DS:
+        def __init__(self, n):
+            self.n = n
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            return {"idx": np.array([i])}
+
+    ds = _DS(23)
+    rng = np.random.default_rng(1)
+    group_ids = rng.integers(0, 2, 23)
+    for kwargs in (dict(), dict(num_shards=2, shard_index=1),
+                   dict(group_ids=group_ids)):
+        full = list(epoch_loader(ds, 4, shuffle=True, seed=7, **kwargs))
+        plan = epoch_batch_indices(ds, 4, shuffle=True, seed=7, **kwargs)
+        assert len(plan) == len(full)
+        for skip in (0, 1, len(full) - 1, len(full)):
+            tail = list(epoch_loader(ds, 4, shuffle=True, seed=7,
+                                     skip_batches=skip, **kwargs))
+            assert len(tail) == len(full) - skip
+            for a, b in zip(tail, full[skip:]):
+                np.testing.assert_array_equal(a["idx"], b["idx"])

@@ -125,3 +125,55 @@ def test_4xrsn18_iteration_training(tmp_path):
     assert "iteration mode: 4 iters" in text
     # 4-stage per-stage losses all flow into one finite total
     assert "Loss" in text
+
+
+def test_iteration_resume_bit_exact(tmp_path):
+    """A resumed iteration-mode run must be bit-identical to an
+    uninterrupted one: the data stream fast-forwards past consumed
+    batches — whole epochs by plan arithmetic (the dataset rng reseeds
+    per epoch, so skipping their builds is free AND exact), the partial
+    epoch by replaying the consumed prefix's aug-rng draws.  Before the
+    round-3 fix the stream restarted at epoch 0, silently re-training
+    early batches at late-schedule LR."""
+    import numpy as np
+
+    root = str(tmp_path / "data")
+    # 4 images / batch 2 -> 2 batches per epoch; resuming at iteration 3
+    # exercises BOTH paths: skip epoch 0 whole (2 batches) + replay 1
+    # prefix batch of epoch 1
+    make_mini_coco(root, n_images=4, seed=9)
+    yaml = CFG_YAML.replace("MAX_ITER: 12", "MAX_ITER: 7").replace(
+        "CHECKPOINT_PERIOD: 4", "CHECKPOINT_PERIOD: 3")
+
+    out_a = str(tmp_path / "run_a")
+    cfg_a = str(tmp_path / "a.yaml")
+    with open(cfg_a, "w") as f:
+        f.write(yaml.format(out=out_a, root=root))
+    _run(cfg_a)
+
+    out_b = str(tmp_path / "run_b")
+    cfg_b = str(tmp_path / "b.yaml")
+    with open(cfg_b, "w") as f:
+        f.write(yaml.replace("MAX_ITER: 7", "MAX_ITER: 3").format(
+            out=out_b, root=root))
+    _run(cfg_b)                                  # stops after iter 2
+    with open(cfg_b, "w") as f:
+        f.write(yaml.format(out=out_b, root=root))
+    text = _run(cfg_b)                           # resumes at iter 3
+    assert "resumed at iteration 3" in text
+
+    def leaves(out):
+        import jax
+        from udp_pose_tpu.utils.checkpoint import load_weights
+        for dirpath, _d, files in os.walk(out):
+            if "final_state.msgpack" in files:
+                return jax.tree_util.tree_leaves_with_path(load_weights(
+                    os.path.join(dirpath, "final_state.msgpack")))
+        raise FileNotFoundError(out)
+
+    a, b = leaves(out_a), leaves(out_b)
+    assert len(a) == len(b) and len(a) > 0
+    for (ka, va), (kb, vb) in zip(a, b):
+        assert ka == kb
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb),
+                                      err_msg=str(ka))

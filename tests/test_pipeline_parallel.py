@@ -381,3 +381,96 @@ TEST:
     tree = load_weights(final)
     assert "stage0_down" in tree["params"] and "stage1_up" in tree["params"]
     assert "stages" not in tree["params"]
+
+
+def test_pp_train_cli_epoch_mode(tmp_path):
+    """Epoch-mode PP (TRAIN.MAX_ITER 0): the rolling checkpoint.msgpack
+    keeps the pipelined {'stem','stages'} layout (resume restores into
+    it), but BOTH deployment artifacts — model_best.msgpack from the
+    best-epoch save and final_state.msgpack — must be the MERGED
+    standard RSN tree (round-3 review fix: they were raw pipelined)."""
+    import subprocess
+
+    from flax import serialization
+
+    from udp_pose_tpu.utils.checkpoint import load_weights
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from ref_harness import make_mini_coco
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = str(tmp_path / "data")
+    make_mini_coco(root, n_images=4, seed=12)
+    out = str(tmp_path / "run_pp_epoch")
+    cfg_file = str(tmp_path / "pp_epoch.yaml")
+    with open(cfg_file, "w") as f:
+        f.write(f"""
+OUTPUT_DIR: {out}
+PRINT_FREQ: 1
+WORKERS: 0
+DATASET:
+  DATASET: coco
+  ROOT: {root}
+  TRAIN_SET: val2017
+  TEST_SET: val2017
+MODEL:
+  NAME: rsn
+  TARGET_TYPE: gaussian
+  IMAGE_SIZE: [32, 32]
+  HEATMAP_SIZE: [8, 8]
+  NUM_JOINTS: 17
+  INIT_WEIGHTS: false
+  EXTRA:
+    STAGE_NUM: 2
+    UPSAMPLE_CHANNEL_NUM: 16
+    LAYERS: [1, 1, 1, 1]
+TPU:
+  DTYPE: float32
+  PP: true
+  PP_MICROBATCHES: 2
+  MESH:
+    DATA: 2
+    MODEL: 2
+TRAIN:
+  BATCH_SIZE_PER_GPU: 2
+  MAX_ITER: 0
+  BEGIN_EPOCH: 0
+  END_EPOCH: 1
+  WARMUP_ITERS: 1
+  LR: 0.0005
+TEST:
+  BATCH_SIZE_PER_GPU: 2
+  USE_GT_BBOX: true
+  FLIP_TEST: false
+""")
+    env = dict(os.environ, UDP_POSE_PLATFORM="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=4")
+    p = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "train.py"),
+         "--cfg", cfg_file],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=840)
+    assert p.returncode == 0, (p.stdout[-2000:], p.stderr[-3000:])
+    text = p.stdout + p.stderr
+    assert "pipeline-parallel over 2 stages" in text
+
+    found = {}
+    for dirpath, _d, files in os.walk(out):
+        for f in ("final_state.msgpack", "model_best.msgpack",
+                  "checkpoint.msgpack"):
+            if f in files:
+                found[f] = os.path.join(dirpath, f)
+    # model_best only appears when an epoch improves perf (AP 0 on this
+    # 2-step random-init run never does, reference semantics) — when it
+    # exists it must be merged like final_state; its save path is the
+    # same save_final the assertions below pin
+    assert set(found) >= {"final_state.msgpack",
+                          "checkpoint.msgpack"}, found
+    for f in ("final_state.msgpack", "model_best.msgpack"):
+        if f not in found:
+            continue
+        tree = load_weights(found[f])
+        assert "stage0_down" in tree["params"], f
+        assert "stages" not in tree["params"], f
+    with open(found["checkpoint.msgpack"], "rb") as fh:
+        ckpt = serialization.msgpack_restore(fh.read())
+    assert "stages" in ckpt["state"]["params"]   # pipelined rolling ckpt

@@ -254,3 +254,25 @@ def test_train_cli_qat_int8(tmp_path):
     assert p.returncode == 0, (p.stdout[-2000:], p.stderr[-3000:])
     text = p.stdout + p.stderr
     assert "QAT int8: training through the fake-quant grid" in text
+
+
+def test_train_cli_qat_with_pp_refused(tmp_path):
+    """TPU.QAT + TPU.PP must fail fast: the pipeline stages build their
+    own modules and bypass the fake-quant wrapper, so training would
+    silently run full-precision while claiming QAT."""
+    from ref_harness import make_mini_coco
+    root = str(tmp_path / "data")
+    make_mini_coco(root, n_images=2, seed=3)
+    out = str(tmp_path / "run")
+    cfg_file = str(tmp_path / "exp.yaml")
+    with open(cfg_file, "w") as f:
+        f.write(QAT_CFG_YAML.format(out=out, root=root))
+    env = dict(os.environ, UDP_POSE_PLATFORM="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1")
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "train.py"),
+         "--cfg", cfg_file, "TPU.PP", "true"],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=300)
+    assert p.returncode != 0
+    assert "TPU.QAT is not supported together with TPU.PP" in (
+        p.stdout + p.stderr)

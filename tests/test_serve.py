@@ -292,6 +292,21 @@ def test_http_errors(http_server):
     assert e.value.code == 409
 
 
+def test_http_runtime_error_is_500_not_409(http_server, service,
+                                           monkeypatch):
+    """Only EngineStateError maps to 409; a bare RuntimeError (e.g.
+    jaxlib's XlaRuntimeError on a dead device) must surface as 500 so
+    5xx-keyed monitoring fires."""
+    def boom(img, boxes):
+        raise RuntimeError("device exploded")
+    monkeypatch.setattr(service, "pose", boom)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(http_server + "/v1/pose", _npy_bytes(_frame(8)),
+              {"Content-Type": "application/x-npy",
+               "X-Boxes": json.dumps(BOXES.tolist())})
+    assert e.value.code == 500
+
+
 def test_http_metrics(http_server):
     status, body = _get(http_server + "/metrics")
     text = body.decode()

@@ -73,6 +73,14 @@ def main():
         logger.info("tensorboardX unavailable; skipping TB logging")
 
     model = build_model(cfg)
+    if cfg.TPU.QAT == "int8" and cfg.TPU.PP:
+        # the PP path builds its own stem/stage modules
+        # (parallel/pipeline.py) which bypass the FakeQuantModel
+        # interceptor — training would silently run full-precision
+        # while claiming QAT
+        raise ValueError("TPU.QAT is not supported together with TPU.PP "
+                         "(the pipeline stages bypass the fake-quant "
+                         "wrapper); train QAT with dp/tp sharding instead")
     if cfg.TPU.QAT == "int8":
         # quantization-aware training: every supported conv runs
         # fake-quantized (STE) so the weights adapt to the int8 serving
@@ -241,14 +249,27 @@ def main():
                 f" step {resume_skip} (mid-epoch preemption save)"
                 if resume_skip else ""))
 
-    def make_epoch_iter(epoch):
+    _group_ids_cache = []
+
+    def _epoch_group_ids():
+        if not cfg.DATASET.ASPECT_RATIO_GROUPING:
+            return None
+        if not _group_ids_cache:       # db aspect ratios are static —
+            from udp_pose_tpu.data.base import aspect_ratio_group_ids
+            _group_ids_cache.append(aspect_ratio_group_ids(train_ds))
+        return _group_ids_cache[0]
+
+    def make_epoch_iter(epoch, skip_batches=0):
         """WORKERS>0 → grain multiprocess loader; else in-process loader.
         Each host iterates only its shard (epoch-seeded, deterministic —
-        replaces DistributedSampler)."""
+        replaces DistributedSampler).  ``skip_batches`` (mid-epoch
+        resume) drops the leading plan entries without building them;
+        the grain path falls back to the in-process loader for that one
+        epoch (the two are determinism-tested identical)."""
         if cfg.WORKERS > 0 and cfg.DATASET.ASPECT_RATIO_GROUPING:
             logger.warning("ASPECT_RATIO_GROUPING needs the in-process "
                            "loader; ignoring WORKERS>0 for grouping")
-        elif cfg.WORKERS > 0:
+        elif cfg.WORKERS > 0 and not skip_batches:
             try:
                 from udp_pose_tpu.data.grain_loader import grain_loader
                 return grain_loader(train_ds, local_batch, seed=epoch,
@@ -260,14 +281,21 @@ def main():
                 logger.warning(f"grain loader unavailable ({e}); "
                                "falling back to in-process loader")
         train_ds.seed(epoch)
-        group_ids = None
-        if cfg.DATASET.ASPECT_RATIO_GROUPING:
-            from udp_pose_tpu.data.base import aspect_ratio_group_ids
-            group_ids = aspect_ratio_group_ids(train_ds)
         return epoch_loader(train_ds, local_batch,
                             shuffle=cfg.TRAIN.SHUFFLE, seed=epoch,
                             shard_index=shard_index, num_shards=num_shards,
-                            group_ids=group_ids)
+                            group_ids=_epoch_group_ids(),
+                            skip_batches=skip_batches)
+
+    def epoch_plan_size(epoch):
+        """Batches this shard contributes to epoch ``epoch`` — index math
+        only, no sample is built (resume fast-forward)."""
+        from udp_pose_tpu.data.base import epoch_batch_indices
+        train_ds.seed(epoch)
+        return len(epoch_batch_indices(
+            train_ds, local_batch, shuffle=cfg.TRAIN.SHUFFLE, seed=epoch,
+            shard_index=shard_index, num_shards=num_shards,
+            group_ids=_epoch_group_ids()))
 
     if iter_mode:
         # ---- iteration-based RSN training (reference train.py:69-115) ----
@@ -287,22 +315,41 @@ def main():
             if start_iter:
                 logger.info(f"=> resumed at iteration {start_iter}")
 
-        def infinite_batches():
+        def infinite_batches(skip=0):
             """IterationBasedBatchSampler equivalent: endless epoch-seeded
-            resampling (cvpack iteration_based_batch_sampler.py:5-31)."""
+            resampling (cvpack iteration_based_batch_sampler.py:5-31).
+            ``skip`` fast-forwards the stream past the batches a
+            preempted run already consumed — whole epochs advance by
+            plan-size arithmetic, the partial epoch by skip_batches —
+            so the resumed trajectory sees exactly the batches an
+            uninterrupted run would have seen at iterations >= skip."""
             p = 0
             while True:
-                got = 0
-                for b in make_epoch_iter(p):
-                    got += 1
-                    yield b
-                if not got:
+                size = epoch_plan_size(p)
+                if not size:
                     raise RuntimeError(
                         f"epoch {p} produced no batches (dataset size "
                         f"{len(train_ds)} < local batch {local_batch}?)")
+                if skip >= size:
+                    # whole skipped epochs are exact AND free: the
+                    # dataset rng reseeds at every epoch start, so no
+                    # aug draw is lost by not building these batches
+                    skip -= size
+                    p += 1
+                    continue
+                for j, b in enumerate(make_epoch_iter(p)):
+                    if j < skip:
+                        # partial epoch: BUILD and discard the consumed
+                        # prefix — the sequential aug rng must replay
+                        # those draws for the continuation to be exactly
+                        # the uninterrupted run's (tested bit-exact for
+                        # the epoch-mode twin, test_preemption.py)
+                        continue
+                    yield b
+                skip = 0
                 p += 1
 
-        batches = infinite_batches()
+        batches = infinite_batches(skip=start_iter)
         loss_sum, loss_cnt = None, 0
         t_end = time.time()
         for iteration in range(start_iter, max_iters):
@@ -328,20 +375,22 @@ def main():
                     f"ETA {eta_s / 3600:.2f}h")
                 if writer:
                     writer.add_scalar("train_loss", loss, iteration)
-            if is_main and ckpt_period and \
-                    (iteration + 1) % ckpt_period == 0:
+            if ckpt_period and (iteration + 1) % ckpt_period == 0 and \
+                    (is_main or ckpt_backend is not None):
+                # orbax saves are COLLECTIVE (each process writes its
+                # addressable shards) — never gate them on is_main
                 save_iter_checkpoint(final_output_dir, state, iteration)
             t_end = time.time()
             if guard.should_stop(num_shards,
                                  sync=(iteration % cfg.PRINT_FREQ == 0)):
-                if is_main:
+                if is_main or ckpt_backend is not None:
                     save_iter_checkpoint(final_output_dir, state, iteration)
                 if ckpt_backend is not None:
                     ckpt_backend.wait()
                 logger.info(f"=> preempted: saved iteration checkpoint "
                             f"{iteration}; exiting")
                 return
-        if is_main:
+        if is_main or ckpt_backend is not None:
             save_iter_checkpoint(final_output_dir, state, max_iters - 1)
         name_values, perf = validate(
             cfg, val_ds, model, eval_variables(state),
@@ -365,8 +414,10 @@ def main():
         t_end = time.time()
         skip = resume_skip if epoch == begin_epoch else 0
         for i, batch in enumerate(make_epoch_iter(epoch)):
-            if i < skip:      # mid-epoch resume: replay the epoch-seeded
-                continue      # batch order, skip the consumed prefix
+            if i < skip:  # mid-epoch resume: replay the epoch-seeded batch
+                continue  # order AND the aug-rng draws (bit-exactness —
+                          # the sequential generator must consume the
+                          # prefix; skip_batches would desync it)
             if is_rsn:
                 device_batch = shard_batch(mesh, {
                     "image": batch["image"],
@@ -432,7 +483,8 @@ def main():
             # step every host reaches (the allgather is a collective)
             if guard.should_stop(num_shards,
                                  sync=(i % cfg.PRINT_FREQ == 0)):
-                if is_main and ckpt_backend is not None:
+                if ckpt_backend is not None:
+                    # collective: every process participates in the save
                     ckpt_backend.save(state, {"epoch": epoch - 1,
                                               "perf": best_perf,
                                               "step_in_epoch": i + 1})
@@ -454,20 +506,27 @@ def main():
 
         best = perf > best_perf
         best_perf = max(best_perf, perf)
-        if is_main and ckpt_backend is not None:
-            # async: the write commits in the background while the next
-            # epoch trains (model_best stays a msgpack weights artifact)
+        if ckpt_backend is not None:
+            # async + COLLECTIVE: every process calls save (each writes
+            # its addressable shards); model_best stays a msgpack weights
+            # artifact, merged out of any parallel layout by save_final
             ckpt_backend.save(state, {"epoch": epoch, "perf": perf})
-            if best:
-                save_weights(os.path.join(final_output_dir,
-                                          "model_best.msgpack"), state)
+            if best and is_main:
+                save_final(os.path.join(final_output_dir,
+                                        "model_best.msgpack"), state)
         elif is_main:   # rank-0 checkpointing (reference engine.py:162-169)
+            # under PP the rolling checkpoint keeps the pipelined layout
+            # (resume restores into it), but model_best is a deployment
+            # artifact and must be the standard merged tree
             save_checkpoint(final_output_dir, state, epoch, perf,
-                            is_best=best)
+                            is_best=best and not use_pp)
+            if best and use_pp:
+                save_final(os.path.join(final_output_dir,
+                                        "model_best.msgpack"), state)
 
     if is_main:
-        save_weights(os.path.join(final_output_dir, "final_state.msgpack"),
-                     state)
+        save_final(os.path.join(final_output_dir, "final_state.msgpack"),
+                   state)
         logger.info(f"=> saved final state to {final_output_dir}")
     if ckpt_backend is not None:
         ckpt_backend.wait()

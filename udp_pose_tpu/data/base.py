@@ -249,15 +249,15 @@ def aspect_ratio_group_ids(dataset, bins=(1.0,)):
     return np.asarray(ids)
 
 
-def epoch_loader(dataset, batch_size, shuffle=True, seed=0, drop_last=True,
-                 shard_index=0, num_shards=1, group_ids=None):
-    """Epoch-seeded sharded batch iterator.
-
-    Replaces the reference's DataLoader + DistributedSampler
-    (RSN/cvpack/dataset/torch_samplers/distributed.py:10-66): deterministic
-    permutation keyed by ``seed``, contiguous padding to a shard-divisible
-    length, per-host shard slicing.
-    """
+def epoch_batch_indices(dataset, batch_size, shuffle=True, seed=0,
+                        drop_last=True, shard_index=0, num_shards=1,
+                        group_ids=None):
+    """This shard's batch plan for one epoch — a list of index chunks —
+    computed WITHOUT touching any sample.  Resume fast-forward walks
+    plans (cheap index math) instead of building the skipped batches,
+    the same trick the reference's IterationBasedBatchSampler gets for
+    free by skipping sampler indices (cvpack
+    iteration_based_batch_sampler.py:5-31)."""
     n = len(dataset)
     idx = np.arange(n)
     if shuffle:
@@ -281,10 +281,30 @@ def epoch_loader(dataset, batch_size, shuffle=True, seed=0, drop_last=True,
                 counts.append(sum(1 for _ in grouped_batch_indices(
                     sidx, group_ids, batch_size, drop_uneven=drop_last)))
             batches = batches[:min(counts)]
-        for chunk in batches:
-            yield collate([dataset[int(i)] for i in chunk])
-        return
+        return batches
     end = (len(idx) // batch_size) * batch_size if drop_last else len(idx)
-    for start in range(0, end, batch_size):
-        chunk = idx[start:start + batch_size]
+    return [idx[start:start + batch_size]
+            for start in range(0, end, batch_size)]
+
+
+def epoch_loader(dataset, batch_size, shuffle=True, seed=0, drop_last=True,
+                 shard_index=0, num_shards=1, group_ids=None,
+                 skip_batches=0):
+    """Epoch-seeded sharded batch iterator.
+
+    Replaces the reference's DataLoader + DistributedSampler
+    (RSN/cvpack/dataset/torch_samplers/distributed.py:10-66): deterministic
+    permutation keyed by ``seed``, contiguous padding to a shard-divisible
+    length, per-host shard slicing.  ``skip_batches`` drops the leading
+    chunks of the plan without building them — an INDEX skip: if the
+    dataset draws augmentations from one sequential generator, those
+    draws are not replayed (bit-exact mid-epoch resume therefore builds
+    and discards the prefix instead — tools/train.py).
+    """
+    batches = epoch_batch_indices(dataset, batch_size, shuffle=shuffle,
+                                  seed=seed, drop_last=drop_last,
+                                  shard_index=shard_index,
+                                  num_shards=num_shards,
+                                  group_ids=group_ids)
+    for chunk in batches[skip_batches:]:
         yield collate([dataset[int(i)] for i in chunk])

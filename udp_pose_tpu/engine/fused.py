@@ -24,6 +24,8 @@ from typing import Optional
 
 import numpy as np
 
+from .errors import EngineStateError
+
 
 class FusedDetectPose:
     """End-to-end detect+pose engine with a per-frame-shape jit cache.
@@ -134,7 +136,7 @@ class FusedDetectPose:
     def save_det_act_scales(self, path):
         from ..models.quantize import save_act_scales
         if self._det_scales is None:
-            raise RuntimeError("detector is not calibrated yet")
+            raise EngineStateError("detector is not calibrated yet")
         save_act_scales(path, self._det_scales)
 
     def _det_calibrating(self) -> bool:
@@ -167,7 +169,7 @@ class FusedDetectPose:
     def _require_pose_calibrated(self, mode: str):
         if (self._pose.quantize == "int8"
                 and self._pose.act_scales is None):
-            raise RuntimeError(
+            raise EngineStateError(
                 f"int8 pose serving via {mode} needs a precomputed "
                 "calibration table (pose_act_scales=...): the "
                 "single-dispatch graph's crops only exist in-graph, so "

@@ -38,6 +38,8 @@ from collections import deque
 
 import numpy as np
 
+from .errors import EngineStateError
+
 MAX_BODY_BYTES = 32 * 1024 * 1024
 MAX_BOXES_PER_REQUEST = 256
 
@@ -60,6 +62,21 @@ def host_crops(img, boxes, input_wh):
     crops = warp_affine_batch(np.ascontiguousarray(img), mats, (h, w))
     crops_u8 = np.clip(np.rint(crops), 0, 255).astype(np.uint8)
     return crops_u8, center, scale
+
+
+def _drain_queue(q):
+    """Fail (rather than strand) jobs still queued at shutdown: a caller
+    that raced the close sentinel would otherwise block forever on its
+    event."""
+    while True:
+        try:
+            j = q.get_nowait()
+        except queue.Empty:
+            return
+        if j is None:
+            continue
+        j.exc = EngineStateError("batcher closed before dispatch")
+        j.event.set()
 
 
 class _Job:
@@ -100,9 +117,11 @@ class CropBatcher:
         self.pad_on_device = bool(pad_on_device)
         self._pad_fns = {}             # pad rows -> jitted zero-pad
         self._q = queue.Queue()
+        self._closed = False
         self._infer = None
         self._infer_fp = None          # bf16 graph used while calibrating
         self.batch_log = deque(maxlen=4096)   # crops per dispatch
+        self._log_lock = threading.Lock()
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="pose-batcher")
         self._thread.start()
@@ -110,6 +129,8 @@ class CropBatcher:
     # ------------------------------------------------------------ client
     def infer(self, crops_u8, center, scale):
         """Blocking: returns (preds (n, J, 2), maxvals (n, J, 1))."""
+        if self._closed:
+            raise EngineStateError("batcher is closed")
         job = _Job(crops_u8, center, scale)
         self._q.put(job)
         job.event.wait()
@@ -117,9 +138,17 @@ class CropBatcher:
             raise job.exc
         return job.preds, job.maxvals
 
+    def log_snapshot(self):
+        """Race-free copy of batch_log (the dispatcher appends
+        concurrently, and deque iteration raises on mutation)."""
+        with self._log_lock:
+            return tuple(self.batch_log)
+
     def close(self):
+        self._closed = True
         self._q.put(None)
         self._thread.join(timeout=10)
+        _drain_queue(self._q)          # jobs that raced the sentinel
 
     # -------------------------------------------------------- dispatcher
     def _build(self, force_fp=False):
@@ -135,6 +164,7 @@ class CropBatcher:
         while True:
             job = self._q.get()
             if job is None:
+                _drain_queue(self._q)   # fail queued jobs, don't hang them
                 return
             batch = [job]
             total = job.n
@@ -191,16 +221,18 @@ class CropBatcher:
             else:
                 crops = np.concatenate([crops, np.tile(crops[:1],
                                                        (pad, 1, 1, 1))])
-        self.batch_log.append(total)
+        with self._log_lock:
+            self.batch_log.append(total)
         if calibrating:
             # record amax on this (bf16-served, bucket-padded) batch
             pipe.calibrate_crops(crops)
 
         if calibrating:
-            # on freeze, pre-quantize the kernels and retrace int8
-            if pipe.act_scales is not None:
-                pipe._maybe_prepare()
-                self._infer = None
+            # serve this batch (the freeze batch included) through the
+            # bf16 graph UNPREPARED: prepare_variables() changes the
+            # variables treedef, so preparing here would retrace the
+            # full bf16 model just to serve one batch — the next
+            # dispatch's non-calibrating branch prepares + builds int8
             if self._infer_fp is None:
                 self._infer_fp = self._build(force_fp=True)
             infer = self._infer_fp
@@ -249,13 +281,17 @@ class FrameBatcher:
         self.max_frames = max(1, int(max_frames))
         self.window_s = float(window_ms) / 1e3
         self._q = queue.Queue()
+        self._closed = False
         self.batch_log = deque(maxlen=4096)    # frames per dispatch
+        self._log_lock = threading.Lock()
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="frame-batcher")
         self._thread.start()
 
     def infer(self, frame):
         """Blocking: returns the fused engine's per-frame result dict."""
+        if self._closed:
+            raise EngineStateError("batcher is closed")
         job = _FrameJob(frame)
         self._q.put(job)
         job.event.wait()
@@ -263,14 +299,21 @@ class FrameBatcher:
             raise job.exc
         return job.out
 
+    def log_snapshot(self):
+        with self._log_lock:
+            return tuple(self.batch_log)
+
     def close(self):
+        self._closed = True
         self._q.put(None)
         self._thread.join(timeout=10)
+        _drain_queue(self._q)          # jobs that raced the sentinel
 
     def _loop(self):
         while True:
             job = self._q.get()
             if job is None:
+                _drain_queue(self._q)
                 return
             batch = [job]
             deadline = time.monotonic() + self.window_s
@@ -298,7 +341,8 @@ class FrameBatcher:
                         j.event.set()
 
     def _dispatch(self, group):
-        self.batch_log.append(len(group))
+        with self._log_lock:
+            self.batch_log.append(len(group))
         if len(group) == 1:
             group[0].out = self.fused.infer_frame(group[0].frame)
             group[0].event.set()
@@ -431,7 +475,7 @@ class PoseService:
 
     def detect_pose(self, img):
         if self.fused is None:
-            raise RuntimeError(
+            raise EngineStateError(
                 "server started without --detector; /v1/detect_pose is off")
         # concurrent callers' frames coalesce into one vmapped dispatch
         out = self.frame_batcher.infer(img)
@@ -506,8 +550,8 @@ def make_handler(service):
                 fb = service.frame_batcher
                 self._send(200,
                            service.metrics.render(
-                               tuple(service.batcher.batch_log),
-                               tuple(fb.batch_log) if fb else ()).encode(),
+                               service.batcher.log_snapshot(),
+                               fb.log_snapshot() if fb else ()).encode(),
                            ctype="text/plain; version=0.0.4")
             else:
                 self._send(404, {"error": f"no route {path}"})
@@ -564,7 +608,11 @@ def make_handler(service):
                 self._send(400, {"error": str(e)})
                 service.metrics.observe(endpoint, 400,
                                         time.perf_counter() - t0)
-            except RuntimeError as e:
+            except EngineStateError as e:
+                # caller-resolvable serving state (endpoint off, not yet
+                # calibrated, shutting down) — NOT bare RuntimeError:
+                # jaxlib's XlaRuntimeError subclasses it, and a dead
+                # device must surface as 500, not 409
                 self._send(409, {"error": str(e)})
                 service.metrics.observe(endpoint, 409,
                                         time.perf_counter() - t0)
