@@ -14,7 +14,12 @@ Goes through the real service path (decode-free: in-memory RGB arrays)
 so the measurement isolates batching, not HTTP/JSON overhead — the
 /v1/pose endpoint adds json+base64 per request on top.
 
-Usage: python tools/profile_serve.py [threads ...]
+``--frames`` probes /v1/detect_pose's FrameBatcher instead: concurrent
+clients submit same-resolution 720p frames; batched (max_frames 8,
+vmapped infer_frames dispatches) vs unbatched (max_frames 1, the old
+serialized-lock shape).
+
+Usage: python tools/profile_serve.py [--frames] [threads ...]
 """
 
 from __future__ import annotations
@@ -60,6 +65,75 @@ def run_load(service, img, boxes, n_threads, requests_per_thread):
     dt = time.perf_counter() - t0
     n_req = n_threads * requests_per_thread
     return n_req / dt, n_req * len(boxes) / dt, 1e3 * float(np.mean(lat))
+
+
+def run_frame_load(service, frame, n_threads, requests_per_thread):
+    lat = []
+    lock = threading.Lock()
+    start = threading.Barrier(n_threads + 1)
+
+    def client():
+        mine = []
+        start.wait()
+        for _ in range(requests_per_thread):
+            t0 = time.perf_counter()
+            out = service.detect_pose(frame)
+            assert "keypoints" in out
+            mine.append(time.perf_counter() - t0)
+        with lock:
+            lat.extend(mine)
+
+    threads = [threading.Thread(target=client) for _ in range(n_threads)]
+    for t in threads:
+        t.start()
+    start.wait()
+    t0 = time.perf_counter()
+    for t in threads:
+        t.join()
+    dt = time.perf_counter() - t0
+    n_req = n_threads * requests_per_thread
+    return n_req / dt, 1e3 * float(np.mean(lat))
+
+
+def main_frames(thread_counts):
+    from udp_pose_tpu.config import load_config
+    from udp_pose_tpu.engine.server import PoseService
+
+    cfg = load_config(os.path.join(
+        REPO, "configs", "coco", "hrnet_w32_256x192_udp_offset.yaml"))
+    cfg.defrost()
+    cfg.TPU.DTYPE = "bfloat16"
+
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 256, (720, 1280, 3)).astype(np.uint8)
+
+    for tag, max_frames in (("frame-batched (max_frames 8)", 8),
+                            ("unbatched (max_frames 1)", 1)):
+        service = PoseService(cfg, flip_test=False, detector="yolov5n",
+                              max_persons=16, window_ms=3.0,
+                              max_frames=max_frames)
+        try:
+            # warm every reachable (F, H, W) graph: 1 plus the
+            # power-of-two frame buckets the coalescer can form
+            service.fused.infer_frame(frame)
+            print("  warmed F=1", file=sys.stderr, flush=True)
+            f = 2
+            while f <= max_frames:
+                service.fused.infer_frames(np.tile(frame[None],
+                                                   (f, 1, 1, 1)))
+                print(f"  warmed F={f}", file=sys.stderr, flush=True)
+                f *= 2
+            run_frame_load(service, frame, max(thread_counts), 2)
+            print(f"--- {tag}", flush=True)
+            for n in thread_counts:
+                rps, ms = run_frame_load(service, frame, n, 6)
+                occ = (np.mean(service.frame_batcher.log_snapshot()[-6 * n:])
+                       if service.frame_batcher.batch_log else 0)
+                print(f"  {n:2d} clients: {rps:6.1f} frames/s  "
+                      f"mean latency {ms:6.1f} ms  mean batch {occ:.1f}",
+                      flush=True)
+        finally:
+            service.close()
 
 
 def main(thread_counts):
@@ -126,4 +200,7 @@ def main(thread_counts):
 
 
 if __name__ == "__main__":
-    main([int(a) for a in sys.argv[1:]] or [1, 4, 8, 16])
+    argv = sys.argv[1:]
+    frames = "--frames" in argv
+    counts = [int(a) for a in argv if a != "--frames"] or [1, 4, 8, 16]
+    (main_frames if frames else main)(counts)
