@@ -298,3 +298,22 @@ def test_profile_tools_import():
                 "profile_serve"):
         m = importlib.import_module(mod)
         assert callable(getattr(m, "main"))
+
+
+def test_profile_input_runs():
+    """profile_input is pure-host (no TPU), so unlike the other profile
+    tools it runs end-to-end in CI: synthetic COCO build, every stage
+    timed, feed table printed."""
+    import subprocess
+    import sys
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "profile_input.py"),
+         "--images", "4"],
+        capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = proc.stdout
+    assert "full host pipeline" in out
+    assert "device-aug host residue" in out
+    assert "RSN host pipeline" in out
+    assert "worker cores needed" in out
