@@ -40,8 +40,29 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
+def _smooth_image(rng, W, H):
+    """Photo-like compressible content: low-frequency gradients + blocks.
+
+    Noise jpegs defeat JPEG entropy coding and decode ~2x slower than
+    natural photos; smooth frames bound the decode cost from below, so
+    the pair brackets real COCO.
+    """
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    base = np.stack([
+        127 + 120 * np.sin(xx / W * rng.uniform(2, 8) + rng.uniform(0, 6)),
+        127 + 120 * np.sin(yy / H * rng.uniform(2, 8) + rng.uniform(0, 6)),
+        127 + 120 * np.sin((xx + yy) / (W + H) * rng.uniform(2, 8)),
+    ], axis=-1)
+    for _ in range(6):     # a few flat rectangles (objects)
+        x0, y0 = rng.integers(0, W - 80), rng.integers(0, H - 80)
+        w, h = rng.integers(40, 200), rng.integers(40, 160)
+        base[y0:y0 + h, x0:x0 + w] = rng.integers(0, 255, 3)
+    return np.clip(base, 0, 255).astype(np.uint8)
+
+
 def make_synthetic_coco(root, n_images=48, people_per_image=2,
-                        size=(640, 480), image_set="train2017", seed=7):
+                        size=(640, 480), image_set="train2017", seed=7,
+                        smooth=False):
     """COCO-shaped on-disk set: jpegs + person_keypoints json."""
     rng = np.random.default_rng(seed)
     os.makedirs(os.path.join(root, "annotations"), exist_ok=True)
@@ -50,7 +71,8 @@ def make_synthetic_coco(root, n_images=48, people_per_image=2,
     W, H = size
     images, annotations, aid = [], [], 1
     for img_id in range(1, n_images + 1):
-        img = rng.integers(0, 255, (H, W, 3), np.uint8)
+        img = (_smooth_image(rng, W, H) if smooth
+               else rng.integers(0, 255, (H, W, 3), np.uint8))
         name = "%012d.jpg" % img_id
         cv2.imwrite(os.path.join(img_dir, name), img)
         images.append({"id": img_id, "width": W, "height": H,
@@ -108,6 +130,9 @@ def main():
     ap.add_argument("--workers", type=int, default=0,
                     help="also run the grain multi-worker loader e2e")
     ap.add_argument("--images", type=int, default=48)
+    ap.add_argument("--smooth", action="store_true",
+                    help="photo-like compressible jpegs (decode-cost "
+                         "LOWER bound; default noise jpegs are the upper)")
     args = ap.parse_args()
 
     from udp_pose_tpu.data import build_dataset
@@ -115,7 +140,7 @@ def main():
     from udp_pose_tpu.data.device_pipeline import pad_to_canvas
 
     tmp = tempfile.mkdtemp(prefix="udp_input_profile_")
-    make_synthetic_coco(tmp, n_images=args.images)
+    make_synthetic_coco(tmp, n_images=args.images, smooth=args.smooth)
 
     cfg = _cfg(tmp)
     ds = build_dataset(cfg, is_train=True)
