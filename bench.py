@@ -210,6 +210,17 @@ def _run(result):
         except Exception as e:
             log(f"{label} failed: {e!r}")
 
+    # w48 is where int8 pays most (+29.5% flip — wide-conv lever,
+    # DESIGN.md); depth metric, so it yields to the soft budget
+    if time.perf_counter() - t0 < soft_budget:
+        label = "crops_per_sec_w48_384x288_int8"
+        mark(label)
+        try:
+            result[label] = round(bench_family(
+                jax, jnp, _w48_cfg(), 48, flip=True, quantize=True), 1)
+        except Exception as e:
+            log(f"{label} failed: {e!r}")
+
     # ---- end-to-end engine: detect-then-pose serving latency --------------
     # Tunnel-bandwidth-bound and high-variance (DESIGN.md), so it runs
     # AFTER every comparable metric and is dropped past the soft budget.
