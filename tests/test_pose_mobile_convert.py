@@ -163,3 +163,38 @@ def test_pose_mobilenetv3_small():
                            "NUM_DECONV_KERNELS": [4, 4]})
     tmodel = _randomize(_TVPoseMobileNetV3(cfg))
     _roundtrip_and_parity(tmodel, cfg)
+
+
+def test_shufflenetv2_test_parity():
+    """shufflenetv2_test — the reference's unregistered experimental
+    all-in-one net (backbones/shufflenetv2_test.py:117-206: megvii
+    ShuffleNetV2 1.0x + conv_compress/DUC decoder + 17*3 offset head
+    baked into the backbone class).  Output parity of the registered
+    ``shufflenetv2_test`` model vs the ACTUAL reference module, via
+    convert_shufflenetv2_test's key remap."""
+    from udp_pose_tpu.models import build_model
+    from udp_pose_tpu.utils.torch_convert import (check_against_model,
+                                                  convert_shufflenetv2_test)
+
+    mod = _ref_module("backbones.shufflenetv2_test")
+    tmodel = _randomize(mod.ShuffleNetV2(model_size="1.0x"), seed=11)
+    tmodel.eval()
+
+    variables, unused = convert_shufflenetv2_test(
+        {k: v.numpy() for k, v in tmodel.state_dict().items()})
+    assert not unused, unused[:8]
+
+    cfg = _pose_cfg("shufflenetv2_test")
+    cfg.MODEL.IMAGE_SIZE = [192, 256]       # the file's own smoke shape
+    cfg.MODEL.HEATMAP_SIZE = [48, 64]       # (:248 rand(5,3,192,256))
+    fmodel = build_model(cfg)
+    variables = check_against_model(variables, fmodel, (1, 256, 192, 3))
+
+    rng = np.random.default_rng(13)
+    x = rng.normal(size=(2, 3, 256, 192)).astype(np.float32)
+    with torch.no_grad():
+        yt = tmodel(torch.tensor(x)).numpy()
+    yf = np.asarray(fmodel.apply(variables, x.transpose(0, 2, 3, 1),
+                                 train=False)).transpose(0, 3, 1, 2)
+    assert yt.shape == yf.shape == (2, 51, 64, 48), (yt.shape, yf.shape)
+    np.testing.assert_allclose(yf, yt, rtol=1e-3, atol=2e-3)

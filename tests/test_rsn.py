@@ -350,3 +350,75 @@ def test_4xrsn18_torch_output_parity():
     outs = fmodel.apply(variables, x.transpose(0, 2, 3, 1), train=False,
                         all_stages=True)
     assert len(outs) == 4 and all(len(s) == 4 for s in outs)
+
+
+@pytest.mark.skipif(not os.path.isdir(RSN_ROOT),
+                    reason="reference checkout not present")
+def test_res18_plain_torch_output_parity():
+    """Res18 plain-bottleneck ablation — output parity vs the ACTUAL
+    RSN/exps/Res18.coco/network.py (class MSPN, STAGE_NUM=1,
+    Res18.coco/config.py:51).  The plain Bottleneck there is 1x1 s1 ->
+    3x3 s=stride -> 1x1 (network.py:49-77) — note the stride sits on the
+    3x3, unlike RSN's residual-steps block which strides its 1x1."""
+    import torch
+    from udp_pose_tpu.models import build_model
+    from udp_pose_tpu.utils.torch_convert import (check_against_model,
+                                                  convert_rsn)
+
+    from ref_harness import claim_rsn_namespace
+    claim_rsn_namespace()
+    spec = importlib.util.spec_from_file_location(
+        "ref_res18_network",
+        os.path.join(RSN_ROOT, "exps/Res18.coco/network.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    class _NS:
+        pass
+
+    rcfg = _NS()
+    rcfg.MODEL = _NS(); rcfg.MODEL.STAGE_NUM = 1
+    rcfg.MODEL.UPSAMPLE_CHANNEL_NUM = 256
+    rcfg.DATASET = _NS(); rcfg.DATASET.KEYPOINT = _NS()
+    rcfg.DATASET.KEYPOINT.NUM = 17
+    rcfg.OUTPUT_SHAPE = (64, 48)
+    rcfg.LOSS = _NS(); rcfg.LOSS.OHKM = True; rcfg.LOSS.TOPK = 8
+    rcfg.LOSS.COARSE_TO_FINE = True
+
+    tmodel = mod.MSPN(rcfg)
+    tmodel.eval()
+    g = torch.Generator().manual_seed(31)
+    sd = tmodel.state_dict()
+    for k, v in sd.items():
+        if v.dtype.is_floating_point:
+            if "running_var" in k:
+                sd[k] = torch.rand(v.shape, generator=g) + 0.5
+            elif "running_mean" in k:
+                sd[k] = torch.randn(v.shape, generator=g) * 0.1
+            else:
+                sd[k] = torch.randn(v.shape, generator=g) * 0.05
+    tmodel.load_state_dict(sd)
+
+    # our model from the canonical shipped config (PLAIN_BOTTLENECK: true)
+    from udp_pose_tpu.config import load_config
+    cfg = load_config(os.path.join(
+        os.path.dirname(__file__), "..", "configs", "coco",
+        "res18_256x192.yaml"))
+    cfg.defrost()
+    cfg.TPU.DTYPE = "float32"
+    assert cfg.MODEL.EXTRA.PLAIN_BOTTLENECK
+    fmodel = build_model(cfg)
+    variables, unused = convert_rsn(
+        {k: v.numpy() for k, v in tmodel.state_dict().items()},
+        stage_num=1, plain=True)
+    assert not unused, unused[:8]
+    variables = check_against_model(variables, fmodel, (1, 256, 192, 3))
+
+    rng = np.random.default_rng(37)
+    x = rng.normal(size=(2, 3, 256, 192)).astype(np.float32)
+    with torch.no_grad():
+        yt = tmodel(torch.tensor(x)).numpy()
+    yf = np.asarray(fmodel.apply(variables, x.transpose(0, 2, 3, 1),
+                                 train=False)).transpose(0, 3, 1, 2)
+    assert yt.shape == yf.shape
+    np.testing.assert_allclose(yf, yt, rtol=1e-3, atol=5e-4)

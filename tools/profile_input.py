@@ -97,15 +97,15 @@ def make_synthetic_coco(root, n_images=48, people_per_image=2,
         json.dump(gt, f)
 
 
-def _cfg(root, rsn=False):
+def _cfg(root, rsn=False, image_size=(192, 256), heatmap_size=(48, 64)):
     from udp_pose_tpu.config import default_config
     cfg = default_config()
     cfg.DATASET.DATASET = "coco"
     cfg.DATASET.ROOT = root
     cfg.DATASET.TRAIN_SET = "train2017"
     cfg.DATASET.COLOR_RGB = True
-    cfg.MODEL.IMAGE_SIZE = [192, 256]
-    cfg.MODEL.HEATMAP_SIZE = [48, 64]
+    cfg.MODEL.IMAGE_SIZE = list(image_size)
+    cfg.MODEL.HEATMAP_SIZE = list(heatmap_size)
     if rsn:
         cfg.MODEL.NAME = "rsn"
     else:
@@ -135,11 +135,19 @@ def main():
                          "LOWER bound; default noise jpegs are the upper)")
     args = ap.parse_args()
 
+    import shutil
+    tmp = tempfile.mkdtemp(prefix="udp_input_profile_")
+    try:
+        _profile(args, tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _profile(args, tmp):
     from udp_pose_tpu.data import build_dataset
     from udp_pose_tpu.data.base import collate
     from udp_pose_tpu.data.device_pipeline import pad_to_canvas
 
-    tmp = tempfile.mkdtemp(prefix="udp_input_profile_")
     make_synthetic_coco(tmp, n_images=args.images, smooth=args.smooth)
 
     cfg = _cfg(tmp)
@@ -159,9 +167,9 @@ def main():
         lambda i: cv2.imread(paths[i], cv2.IMREAD_COLOR), n)
     rows.append(("jpeg decode only (cv2.imread)", ms_dec))
 
-    # decode is per-IMAGE; with people_per_image persons per image the
-    # per-SAMPLE decode cost is lower if workers cache per-image decodes.
-    # The reference does not cache (one imread per sample); report both.
+    # decode is per-IMAGE; the reference does not cache decodes across the
+    # persons sharing an image (one imread per sample), and neither does
+    # this residue measurement — it is the uncached per-sample cost.
     canvas = (512, 672)    # fits 640x480 in multiples of 32
     ms_res = timed_per_sample(
         lambda i: pad_to_canvas(
@@ -175,6 +183,15 @@ def main():
     ms_col = (time.perf_counter() - t0) / 8 / len(samples) * 1e3
     rows.append(("collate (per sample, B=32)", ms_col))
 
+    # w48 feeds a 288x384 crop with a 72x96 heatmap: 2.25x the warp
+    # output and target area of the 256x192 pipeline, so its host cost
+    # is measured with its own config, not proxied by ms_full.
+    wcfg = _cfg(tmp, image_size=(288, 384), heatmap_size=(72, 96))
+    wds = build_dataset(wcfg, is_train=True)
+    ms_full_w48 = timed_per_sample(lambda i: wds[i], min(len(wds), n))
+    rows.append(("full host pipeline, 384x288 crop (w48 shapes)",
+                 ms_full_w48))
+
     rcfg = _cfg(tmp, rsn=True)
     rds = build_dataset(rcfg, is_train=True)
     ms_rsn = timed_per_sample(lambda i: rds[i], min(len(rds), n))
@@ -186,7 +203,7 @@ def main():
 
     # feed table vs the measured device-side consumption rates
     steps = [("HRNet-w32 256x192 B=128", 1278.0, ms_full),
-             ("HRNet-w48 384x288 B=64", 228.0, ms_full),
+             ("HRNet-w48 384x288 B=64", 228.0, ms_full_w48),
              ("RSN18 256x192 B=128", 2443.0, ms_rsn)]
     print("\nworker cores needed to feed one v5e chip "
           "(rate x ms / 1000, +no margin):")

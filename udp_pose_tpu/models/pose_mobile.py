@@ -108,6 +108,25 @@ def _snv2_ps(cfg):
         "pixel_shuffle")
 
 
+@register_model("shufflenetv2_test")
+def _snv2_test(cfg):
+    """The experimental all-in-one net of backbones/shufflenetv2_test.py
+    (:117-206): megvii ShuffleNetV2 1.0x with the pixel-shuffle decoder
+    (conv_compress 1024->256, DUC 512/256/128) and a 17*3-channel offset
+    head baked into the backbone class.  The reference never registers it
+    in its MODELS dict; here it is a first-class registry name with the
+    file's hardcoded hyperparameters."""
+    cfg = cfg.clone()
+    cfg.defrost()
+    cfg.MODEL.TARGET_TYPE = "offset"        # final 17*3 (:195-201)
+    cfg.MODEL.EXTRA.MODEL_SIZE = "1.0x"
+    cfg.MODEL.EXTRA.START_CHANNELS = 256
+    cfg.MODEL.EXTRA.ARCHITECTURE = [512, 256, 128]
+    cfg.MODEL.EXTRA.FINAL_CONV_KERNEL = 1
+    return _common(
+        cfg, ShuffleNetV2, {"model_size": "1.0x"}, "pixel_shuffle")
+
+
 @register_model("pose_mobilenetv3_small")
 def _mnv3(cfg):
     return _common(cfg, MobileNetV3Small, {}, "deconv")

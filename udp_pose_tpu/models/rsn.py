@@ -122,9 +122,12 @@ class RSNBottleneck(nn.Module):
     def __call__(self, x, train: bool = False):
         residual = x
         if self.plain:
-            out = ConvBnRelu(self.planes, 1, self.stride, dtype=self.dtype,
+            # Res18 places the stride on the 3x3 (Res18.coco/network.py:
+            # 55-62: conv1 1x1 stride=1, conv2 3x3 stride=stride), unlike
+            # the RSN block which strides its 1x1 expand.
+            out = ConvBnRelu(self.planes, 1, 1, dtype=self.dtype,
                              name="cbr1")(x, train)
-            out = ConvBnRelu(self.planes, 3, 1, dtype=self.dtype,
+            out = ConvBnRelu(self.planes, 3, self.stride, dtype=self.dtype,
                              name="cbr2")(out, train)
             out = ConvBnRelu(self.planes, 1, 1, has_relu=False,
                              dtype=self.dtype, name="cbr3")(out, train)

@@ -843,6 +843,37 @@ def _map_pose_mobile(cv: Converter, cfg):
 _CLASSIFIER_KEYS = ("classifier", "fc.", "LastSE", "globalpool", "avgpool")
 
 
+def convert_shufflenetv2_test(sd: Dict[str, np.ndarray]):
+    """backbones/shufflenetv2_test.py ShuffleNetV2 state_dict → flax
+    variables for the registered ``shufflenetv2_test`` pose net.
+
+    That experimental torch class bakes the decoder into the backbone
+    (conv_compress / duc1..duc3 / final_layer at top level, :170-182);
+    remap its keys into the registered pose-wrapper layout (backbone. /
+    decoder.duc.N.) and delegate to :func:`convert_pose_mobile`."""
+    remapped: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k.startswith(("first_conv", "features", "conv_last")):
+            remapped["backbone." + k] = v
+        elif k.startswith("conv_compress"):
+            remapped["decoder." + k] = v
+        elif k.startswith("duc"):
+            i = int(k[3]) - 1                    # duc1 -> decoder.duc.0
+            remapped[f"decoder.duc.{i}" + k[4:]] = v
+        else:                                    # final_layer, classifier...
+            remapped[k] = v
+
+    class _NS:
+        pass
+
+    cfg = _NS(); cfg.MODEL = _NS()
+    cfg.MODEL.NAME = "pose_shufflenetv2_10x_pixel_shuffle"
+    cfg.MODEL.EXTRA = {"MODEL_SIZE": "1.0x", "START_CHANNELS": 256,
+                       "ARCHITECTURE": (512, 256, 128),
+                       "FINAL_CONV_KERNEL": 1}
+    return convert_pose_mobile(remapped, cfg)
+
+
 def convert_pose_mobile(sd: Dict[str, np.ndarray], cfg):
     """Trained mobile pose .pth → flax variables for MobilePoseNet.
     Returns (variables, unused_keys); the backbone's dead classifier-head
