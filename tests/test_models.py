@@ -171,3 +171,38 @@ def test_hrnet_remat_stem_is_math_identical():
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7), g1, g2)
+
+
+@pytest.mark.parametrize("target_type", ["gaussian", "offset"])
+def test_flip_mode_two_pass_matches_fold(target_type):
+    """The two_pass flip-test schedule (round-4 perf fix: two B-sized
+    forwards tile better than one 2B forward) must be numerically
+    equivalent to the round-1 fold-in-batch schedule — identical
+    sample-wise math, so decoded keypoints match to float tolerance."""
+    from udp_pose_tpu.core.infer import make_infer_fn
+
+    cfg = _resnet_cfg(target_type=target_type, layers=18)
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(lambda r: model.init(
+        r, jnp.zeros((1, 256, 192, 3)), train=False))(rng)
+
+    g = np.random.default_rng(5)
+    images = g.integers(0, 256, (4, 256, 192, 3)).astype(np.uint8)
+    center = np.tile(np.array([[100.0, 120.0]], np.float32), (4, 1))
+    scale = np.tile(np.array([[0.9, 1.2]], np.float32), (4, 1))
+
+    outs = {}
+    for mode in ("two_pass", "fold"):
+        infer = make_infer_fn(model, target_type=target_type,
+                              flip_test=True, post_process=True,
+                              flip_mode=mode)
+        preds, maxvals, hm = infer(variables, images, center, scale)
+        outs[mode] = (np.asarray(preds), np.asarray(maxvals),
+                      np.asarray(hm))
+    np.testing.assert_allclose(outs["two_pass"][2], outs["fold"][2],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(outs["two_pass"][0], outs["fold"][0],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(outs["two_pass"][1], outs["fold"][1],
+                               rtol=1e-5, atol=1e-5)

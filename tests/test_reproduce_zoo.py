@@ -148,3 +148,22 @@ def test_shipped_manifest_schema():
         load_config(cfg_path)   # parses into our schema
         assert e["weights"].startswith("$UDP_ZOO/")
         assert 40.0 < float(e["expected"]) < 100.0
+
+
+def test_quantize_int8_columns(zoo_env):
+    """--quantize int8 (VERDICT r3 item 9): the same one command must
+    also measure the int8 AP so the day real data + weights exist both
+    precisions come out of one run.  On this tiny fixture the int8 AP
+    exists and its delta is reported but not tolerance-gated."""
+    from tools.reproduce_zoo import run_manifest
+    out = io.StringIO()
+    rows, ok = run_manifest([_entry(zoo_env)], tolerance=0.1, out=out,
+                            quantize="int8")
+    assert ok, rows
+    r = rows[0]
+    assert r["status"] == "OK"
+    assert isinstance(r["measured_int8"], float)
+    assert r["delta_int8"] == pytest.approx(
+        r["measured_int8"] - r["measured"], abs=1e-9)
+    text = out.getvalue()
+    assert "int8" in text and "d_int8" in text

@@ -1,0 +1,230 @@
+"""HLO collective accounting for the sharded w32 train step.
+
+The virtual-8-device sharding-efficiency figure (tools/bench_scaling.py,
+DESIGN.md round-2) is confounded by XLA-CPU host contention — it upper-
+bounds real partitioning overhead but predicts nothing.  This tool
+replaces it with the honest maximum available without multi-chip
+hardware: compile the REAL sharded train step for an 8-device mesh,
+walk the optimized (post-GSPMD) HLO, and account every collective —
+op kind, count, tensor bytes, and ring-model bytes-on-the-wire per
+chip — then model v5e-8 step-time overhead against the measured
+single-chip step.
+
+  python tools/collective_accounting.py              # reduced proxy net
+  python tools/collective_accounting.py --full       # full w32 256x192
+
+Modes accounted (the dryrun_multichip parallelisms):
+  dp8        pure data parallel (8-way batch)
+  dp4sp2     batch x input-height ('model' axis: GSPMD conv halos)
+  dp4tp2     batch x channel tensor parallel (parallel/mesh.py)
+
+Ring model (the scaling-book recipe): an all-reduce of N bytes over an
+a-device axis moves 2(a-1)/a * N bytes through each chip; all-gather /
+reduce-scatter move (a-1)/a * N; a collective-permute moves N.
+v5e ICI: 1600 Gbps per chip per direction (public v5e spec) = 200 GB/s;
+a 2x4 v5e-8 slice rings both mesh axes over ICI.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+_DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s64": 8,
+                "u64": 8, "s32": 4, "u32": 4, "s16": 2, "u16": 2,
+                "s8": 1, "u8": 1, "pred": 1, "f8e4m3fn": 1, "f8e5m2": 1}
+
+_SHAPE_RE = re.compile(r"(" + "|".join(_DTYPE_BYTES) + r")\[([\d,]*)\]")
+_COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter",
+                "collective-permute", "all-to-all")
+# fusions/calls can't contain collectives; only scan computation bodies
+_OP_RE = re.compile(
+    r"^\s*(?:ROOT\s+)?%?[\w.\-]+\s*=\s*(\(?.*?\)?)\s*"
+    r"(" + "|".join(_COLLECTIVES) + r")(?:-start|-done)?\(")
+
+
+def _shape_bytes(shape_text: str) -> int:
+    total = 0
+    for dt, dims in _SHAPE_RE.findall(shape_text):
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dt]
+    return total
+
+
+def account_hlo(hlo_text: str):
+    """Collective census of one optimized HLO module.
+
+    Returns {op_kind: {"count": n, "bytes": result-tensor bytes}} where
+    ``bytes`` sums each op's RESULT shape(s).  ``-start``/``-done`` async
+    pairs are counted once (on the -start; -done repeats the shape).
+    """
+    out = {}
+    for line in hlo_text.splitlines():
+        if "-done(" in line:
+            continue
+        m = _OP_RE.match(line)
+        if not m:
+            continue
+        shape_text, kind = m.group(1), m.group(2)
+        ent = out.setdefault(kind, {"count": 0, "bytes": 0})
+        ent["count"] += 1
+        ent["bytes"] += _shape_bytes(shape_text)
+    return out
+
+
+def wire_bytes_per_chip(census, axis_size: int) -> int:
+    """Ring-model bytes through each chip's ICI links for one step."""
+    a = axis_size
+    total = 0.0
+    for kind, ent in census.items():
+        n = ent["bytes"]
+        if kind == "all-reduce":
+            total += 2 * (a - 1) / a * n
+        elif kind in ("all-gather", "reduce-scatter", "all-to-all"):
+            total += (a - 1) / a * n
+        else:                                   # collective-permute
+            total += n
+    return int(total)
+
+
+def build_step(full: bool, per_chip_batch: int, n_data: int, n_model: int):
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from __graft_entry__ import _hrnet_w32_cfg, _reduced_flagship_cfg
+    from udp_pose_tpu.core.loss import make_loss_fn
+    from udp_pose_tpu.core.train import create_train_state, make_train_step
+    from udp_pose_tpu.models import build_model
+    from udp_pose_tpu.parallel import (make_mesh, replicated,
+                                       tensor_parallel_sharding)
+
+    if full:
+        cfg = _hrnet_w32_cfg((192, 256), (48, 64), dtype="bfloat16")
+        H = W = None
+        img_hw, tgt_hw = (256, 192), (64, 48)
+    else:
+        cfg = _reduced_flagship_cfg()
+        img_hw, tgt_hw = (64, 64), (16, 16)
+
+    mesh = make_mesh(n_data, n_model,
+                     devices=jax.devices()[:n_data * n_model])
+    model = build_model(cfg)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), 10)
+    step = make_train_step(make_loss_fn(cfg))
+
+    B = per_chip_batch * n_data
+    img_sh = NamedSharding(mesh, P("data", "model" if n_model > 1 else None,
+                                   None, None))
+    tgt_sh = NamedSharding(mesh, P("data"))
+    batch_structs = {
+        "image": jax.ShapeDtypeStruct((B, *img_hw, 3), np.float32,
+                                      sharding=img_sh),
+        "target": jax.ShapeDtypeStruct((B, 51, *tgt_hw), np.float32,
+                                       sharding=tgt_sh),
+        "target_weight": jax.ShapeDtypeStruct((B, 17), np.float32,
+                                              sharding=tgt_sh),
+    }
+
+    def sharding_of(s):
+        if n_model > 1:
+            return tensor_parallel_sharding(s, mesh)
+        return jax.tree_util.tree_map(lambda _: replicated(mesh), s)
+
+    state_structs = jax.tree_util.tree_map(
+        lambda x, sh: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sh),
+        state, sharding_of(state))
+    return step, state_structs, batch_structs, mesh
+
+
+def run_mode(name, full, per_chip_batch, n_data, n_model, sp=False):
+    """Compile one mode and return its census dict."""
+    import jax
+    step, state_structs, batch_structs, mesh = build_step(
+        full, per_chip_batch, n_data, n_model)
+    if not sp and n_model > 1:
+        # tp-only: keep the image batch-sharded (no height split)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        s = batch_structs["image"]
+        batch_structs["image"] = jax.ShapeDtypeStruct(
+            s.shape, s.dtype,
+            sharding=NamedSharding(mesh, P("data", None, None, None)))
+    if sp and n_model > 1:
+        # sp-only: params replicated, image height sharded
+        from udp_pose_tpu.parallel import replicated
+        state_structs = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                           sharding=replicated(mesh)),
+            state_structs)
+    compiled = step.lower(state_structs, batch_structs).compile()
+    census = account_hlo(compiled.as_text())
+    cost = compiled.cost_analysis()
+    flops = (cost or {}).get("flops", 0.0)
+    return census, flops
+
+
+MODES = (
+    # (name, n_data, n_model, sp)
+    ("dp8", 8, 1, False),
+    ("dp4sp2", 4, 2, True),
+    ("dp4tp2", 4, 2, False),
+)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true",
+                    help="full w32 256x192 (slow XLA-CPU compile)")
+    ap.add_argument("--per-chip-batch", type=int, default=None,
+                    help="default: 16 full / 2 reduced")
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args()
+
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8"
+                               ).strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    pcb = args.per_chip_batch or (16 if args.full else 2)
+    ICI_BPS = 200e9          # v5e: 1600 Gbps/chip/direction (public spec)
+    rows = []
+    for name, n_data, n_model, sp in MODES:
+        census, flops = run_mode(name, args.full, pcb, n_data, n_model,
+                                 sp=sp)
+        axis = max(n_data, n_model) if n_model == 1 else n_model
+        # grad all-reduce rides 'data'; model-axis collectives ride
+        # 'model' — account each at its own axis size, conservatively
+        # using the larger ring factor when mixed
+        wire = wire_bytes_per_chip(census, 8 if n_model == 1 else 2)
+        t_ici_ms = wire / ICI_BPS * 1e3
+        rows.append({"mode": name, "census": census,
+                     "wire_bytes_per_chip": wire,
+                     "t_ici_ms": round(t_ici_ms, 3),
+                     "flops_per_step": flops})
+        if not args.json:
+            print(f"== {name} (per-chip batch {pcb}"
+                  f"{', full w32' if args.full else ', reduced proxy'})")
+            for kind in sorted(census):
+                ent = census[kind]
+                print(f"   {kind:20s} x{ent['count']:<4d} "
+                      f"{ent['bytes'] / 1e6:10.2f} MB result")
+            print(f"   wire/chip {wire / 1e6:.2f} MB -> "
+                  f"{t_ici_ms:.3f} ms at {ICI_BPS / 1e9:.0f} GB/s ICI",
+                  flush=True)
+    if args.json:
+        print(json.dumps(rows))
+    return rows
+
+
+if __name__ == "__main__":
+    main()

@@ -45,8 +45,14 @@ def _load_entry_weights(cfg, weights_path, model):
     return load_weights(weights_path)
 
 
-def run_entry(entry, opts=(), data_dir=None, output_dir=""):
-    """One manifest row → (measured value, name_values)."""
+def run_entry(entry, opts=(), data_dir=None, output_dir="",
+              quantize=""):
+    """One manifest row → (measured value, name_values).
+
+    ``quantize='int8'`` serves the entry through the PTQ int8 path
+    (amax-calibrated on the first val batches, models/quantize.py) —
+    the same one command then measures the int8 AP delta the day real
+    data + weights exist (VERDICT r3 item 9)."""
     from udp_pose_tpu.config import load_config
     from udp_pose_tpu.core.validate import validate
     from udp_pose_tpu.data import build_dataset
@@ -56,6 +62,8 @@ def run_entry(entry, opts=(), data_dir=None, output_dir=""):
     if not os.path.isabs(cfg_path) and not os.path.exists(cfg_path):
         cfg_path = os.path.join(REPO, cfg_path)
     merged_opts = list(entry.get("opts", [])) + list(opts)
+    if quantize:
+        merged_opts += ["TPU.QUANTIZE", quantize]
     cfg = load_config(cfg_path, merged_opts)
     if data_dir:
         cfg.defrost()
@@ -66,6 +74,9 @@ def run_entry(entry, opts=(), data_dir=None, output_dir=""):
     ds = build_dataset(cfg, is_train=False)
     weights = os.path.expandvars(entry["weights"])
     variables = _load_entry_weights(cfg, weights, model)
+    if cfg.TPU.QUANTIZE == "int8":
+        from udp_pose_tpu.models.quantize import quantize_for_eval
+        model, variables = quantize_for_eval(cfg, model, variables, ds)
     name_values, _perf = validate(cfg, ds, model, variables, output_dir)
     metric = entry.get("metric", "AP")
     if metric not in name_values:
@@ -75,12 +86,19 @@ def run_entry(entry, opts=(), data_dir=None, output_dir=""):
 
 
 def run_manifest(manifest, opts=(), data_dir=None, tolerance=0.1,
-                 output_dir="", skip_missing=False, out=sys.stdout):
+                 output_dir="", skip_missing=False, out=sys.stdout,
+                 quantize=""):
     """Run every manifest entry; returns (rows, ok).
 
     rows: [{name, expected, measured, delta, status}].  ok is False when
     any entry exceeds tolerance or errors (missing weights count as
-    errors unless ``skip_missing``)."""
+    errors unless ``skip_missing``).
+
+    ``quantize='int8'`` ADDITIONALLY serves each entry through the int8
+    PTQ path and reports ``measured_int8`` / ``delta_int8`` (int8 minus
+    fp) — informational columns, not tolerance-gated: the published
+    numbers are fp, and the int8 drift is the deployment trade-off being
+    measured."""
     rows, ok = [], True
     for entry in manifest:
         name = entry.get("name") or entry["config"]
@@ -106,19 +124,39 @@ def run_manifest(manifest, opts=(), data_dir=None, tolerance=0.1,
         delta = measured - expected
         good = abs(delta) <= tolerance
         ok = ok and good
-        rows.append({"name": name, "expected": expected,
-                     "measured": measured, "delta": delta,
-                     "status": "OK" if good else
-                     f"FAIL (|delta| > {tolerance})"})
+        row = {"name": name, "expected": expected,
+               "measured": measured, "delta": delta,
+               "status": "OK" if good else
+               f"FAIL (|delta| > {tolerance})"}
+        if quantize:
+            try:
+                m_q, _ = run_entry(entry, opts, data_dir, output_dir,
+                                   quantize=quantize)
+                row["measured_int8"] = m_q
+                row["delta_int8"] = m_q - measured
+            except Exception as e:
+                row["status"] += f"; int8 ERROR ({type(e).__name__}: {e})"
+                ok = False
+        rows.append(row)
 
     w = max((len(r["name"]) for r in rows), default=4)
-    print(f"{'model':<{w}} {'expected':>9} {'measured':>9} {'delta':>8}  "
-          "status", file=out)
+    int8_cols = quantize and any("measured_int8" in r for r in rows)
+    hdr = (f"{'model':<{w}} {'expected':>9} {'measured':>9} {'delta':>8}")
+    if int8_cols:
+        hdr += f" {'int8':>9} {'d_int8':>8}"
+    print(hdr + "  status", file=out)
     for r in rows:
         meas = f"{r['measured']:.3f}" if r["measured"] is not None else "-"
         dl = f"{r['delta']:+.3f}" if r["delta"] is not None else "-"
-        print(f"{r['name']:<{w}} {r['expected']:>9.3f} {meas:>9} {dl:>8}  "
-              f"{r['status']}", file=out)
+        line = (f"{r['name']:<{w}} {r['expected']:>9.3f} {meas:>9} "
+                f"{dl:>8}")
+        if int8_cols:
+            mq = (f"{r['measured_int8']:.3f}"
+                  if r.get("measured_int8") is not None else "-")
+            dq = (f"{r['delta_int8']:+.3f}"
+                  if r.get("delta_int8") is not None else "-")
+            line += f" {mq:>9} {dq:>8}"
+        print(line + f"  {r['status']}", file=out)
     return rows, ok
 
 
@@ -135,6 +173,9 @@ def main(argv=None):
     p.add_argument("--skip-missing", action="store_true",
                    help="entries whose weights are absent are skipped "
                         "instead of failing the run")
+    p.add_argument("--quantize", default="", choices=["", "int8"],
+                   help="also serve each entry int8 (PTQ) and report the "
+                        "AP delta vs the fp run")
     p.add_argument("opts", nargs=argparse.REMAINDER,
                    help="extra dotted config overrides for every entry")
     args = p.parse_args(argv)
@@ -143,7 +184,7 @@ def main(argv=None):
         manifest = json.load(f)
     _rows, ok = run_manifest(manifest, args.opts, args.data_dir,
                              args.tolerance, args.output_dir,
-                             args.skip_missing)
+                             args.skip_missing, quantize=args.quantize)
     return 0 if ok else 1
 
 

@@ -82,24 +82,12 @@ def main():
 
     if cfg.TPU.QUANTIZE == "int8":
         # PTQ serving mode: amax-calibrate on the first val batches, then
-        # run every conv w8a8 on the MXU int8 path (models/quantize.py)
-        import itertools
-
-        from udp_pose_tpu.core.infer import serving_normalizer
-        from udp_pose_tpu.data.base import epoch_loader
-        from udp_pose_tpu.models.quantize import QuantizedModel, calibrate
-        # calibrate on the SAME input distribution the serving path feeds
-        # the net (RSN normalizes with BGR constants, not ImageNet RGB)
-        normalize_images = serving_normalizer(cfg)
-        n_calib = max(1, cfg.TPU.QUANTIZE_CALIB_BATCHES)
-        batches = (normalize_images(b["image"]) for b in itertools.islice(
-            epoch_loader(val_ds, cfg.TEST.BATCH_SIZE_PER_GPU,
-                         shuffle=False, drop_last=False), n_calib))
-        scales = calibrate(model, variables, batches)
-        logger.info(f"=> int8 PTQ: calibrated {len(scales)} conv sites "
-                    f"on {n_calib} batches")
-        model = QuantizedModel(model, scales)
-        variables = model.prepare_variables(variables)
+        # run every conv w8a8 on the MXU int8 path (models/quantize.py,
+        # shared with tools/reproduce_zoo.py --quantize)
+        from udp_pose_tpu.models.quantize import quantize_for_eval
+        model, variables = quantize_for_eval(cfg, model, variables, val_ds)
+        logger.info(f"=> int8 PTQ: calibrated "
+                    f"{len(model.act_scales)} conv sites")
 
     mesh = None
     if len(jax.local_devices()) > 1:

@@ -43,24 +43,42 @@ def make_infer_fn(model, *, target_type: str = "gaussian",
                   flip_test: bool = True, post_process: bool = True,
                   kpd: float = 4.0,
                   flip_pairs: Sequence = COCO_FLIP_PAIRS,
-                  normalize: bool = True):
+                  normalize: bool = True, flip_mode: str = "two_pass"):
     """Build ``infer(variables, images, center, scale) -> (preds, maxvals)``.
 
     ``images``: (B, H, W, 3) RGB crops — raw [0,255] if ``normalize`` else
     already normalised.  Output coords are source-image space.
+
+    ``flip_mode`` picks how the flip test runs inside the one jit graph
+    (sample-wise math is identical either way; both replace the
+    reference's two sequential forwards with host numpy flips between,
+    function.py:151-171):
+      * ``"two_pass"`` (default): two B-sized forwards.  XLA tiles the
+        convs measurably better at the serving batch than at 2B — the
+        round-4 phase study measured 41.0 vs 43.4 ms/it for the w32 int8
+        flip pipeline at B=128 (+5.8%), and the same direction in bf16.
+      * ``"fold"``: one forward on the 2B concat (the round-1 design) —
+        kept for A/B and for meshes where a bigger batch helps sharding.
     """
     pairs = tuple(tuple(p) for p in flip_pairs)
+    if flip_mode not in ("two_pass", "fold"):
+        raise ValueError(f"flip_mode {flip_mode!r}: 'two_pass' or 'fold'")
 
     @jax.jit
     def infer(variables, images, center, scale):
         x = normalize_images(images) if normalize else images
         B = x.shape[0]
-        if flip_test:
+        if flip_test and flip_mode == "fold":
             x = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0)
         out = model.apply(variables, x, train=False)
         hm = out.transpose(0, 3, 1, 2).astype(jnp.float32)
         if flip_test:
-            hm, hm_f = hm[:B], hm[B:]
+            if flip_mode == "two_pass":
+                out_f = model.apply(variables, x[:, :, ::-1, :],
+                                    train=False)
+                hm_f = out_f.transpose(0, 3, 1, 2).astype(jnp.float32)
+            else:
+                hm, hm_f = hm[:B], hm[B:]
             if target_type == "offset":
                 hm_f = flip_back_offset(hm_f, pairs)
             else:

@@ -81,20 +81,31 @@ def make_rsn_train_step(stage_num: int, ohkm=True, topk=8,
 
 
 def make_rsn_infer_fn(model, *, flip_test=True, flip_pairs,
-                      kernel=5, shifts=(0.25,), input_size_hw=(256, 192)):
-    """Flip-test + RSN decode in one jit graph (RSN test.py:74-116)."""
+                      kernel=5, shifts=(0.25,), input_size_hw=(256, 192),
+                      flip_mode="two_pass"):
+    """Flip-test + RSN decode in one jit graph (RSN test.py:74-116).
+
+    ``flip_mode`` as in core.infer.make_infer_fn: ``two_pass`` (default)
+    runs two B-sized forwards — XLA tiles the convs better at the
+    serving batch than at 2B (round-4 phase study) — ``fold`` keeps the
+    round-1 2B-concat schedule; sample-wise math is identical."""
     pairs = tuple(map(tuple, flip_pairs))
 
     @jax.jit
     def infer(variables, images, center, scale):
         x = _rsn_normalize(images)
         B = x.shape[0]
-        if flip_test:
+        if flip_test and flip_mode == "fold":
             x = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0)
         out = model.apply(variables, x, train=False)
         hm = out.transpose(0, 3, 1, 2).astype(jnp.float32)
         if flip_test:
-            hm, hm_f = hm[:B], hm[B:]
+            if flip_mode == "two_pass":
+                out_f = model.apply(variables, x[:, :, ::-1, :],
+                                    train=False)
+                hm_f = out_f.transpose(0, 3, 1, 2).astype(jnp.float32)
+            else:
+                hm, hm_f = hm[:B], hm[B:]
             hm = (hm + flip_back(hm_f, pairs)) * 0.5
         preds, maxvals = rsn_decode(hm, center, scale, kernel=kernel,
                                     shifts=shifts,

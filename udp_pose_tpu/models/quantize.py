@@ -404,3 +404,27 @@ class QuantizedModel:
                 node = node.setdefault(part, {})
             node[parts[-1]] = {"kernel_i8": w_i8, "scale": s_w}
         return {**variables, "quant": quant}
+
+
+def quantize_for_eval(cfg, model, variables, dataset):
+    """``TPU.QUANTIZE int8`` serving wrap shared by the eval CLIs
+    (tools/test.py, tools/reproduce_zoo.py): amax-calibrate on the first
+    ``TPU.QUANTIZE_CALIB_BATCHES`` val batches — the SAME input
+    distribution serving feeds the net (core.infer.serving_normalizer) —
+    then serve w8a8 with prepared kernels.  No-op unless the cfg asks
+    for int8; returns (model, variables)."""
+    if cfg.TPU.QUANTIZE != "int8":
+        return model, variables
+    import itertools
+
+    from ..core.infer import serving_normalizer
+    from ..data.base import epoch_loader
+
+    normalize_images = serving_normalizer(cfg)
+    n_calib = max(1, cfg.TPU.QUANTIZE_CALIB_BATCHES)
+    batches = (normalize_images(b["image"]) for b in itertools.islice(
+        epoch_loader(dataset, cfg.TEST.BATCH_SIZE_PER_GPU, shuffle=False,
+                     drop_last=False), n_calib))
+    scales = calibrate(model, variables, batches)
+    qm = QuantizedModel(model, scales)
+    return qm, qm.prepare_variables(variables)
