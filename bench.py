@@ -100,7 +100,7 @@ def _run(result):
     # ---- headline: w32 flip-test, int8 two_pass (always runs) ----------
     mark("headline w32 int8 fliptest")
     cps_int8 = bench_family(jax, jnp, _headline_cfg(), 128, flip=True,
-                            quantize=True)
+                            quantize=True, flip_mode="two_pass")
     result.update({
         "value": round(cps_int8, 1),
         "vs_baseline": round(cps_int8 / A100_EST_CROPS_PER_SEC, 3),
@@ -123,7 +123,8 @@ def _run(result):
     # (estimates are measured r04 wall costs incl. remote compile) -------
     def sec_bf16_flip():
         result["crops_per_sec_w32_256x192_fliptest_bf16"] = round(
-            bench_family(jax, jnp, _headline_cfg(), 128, flip=True), 1)
+            bench_family(jax, jnp, _headline_cfg(), 128, flip=True,
+                         flip_mode="two_pass"), 1)
 
     def sec_train():
         sps, tfs = bench_train(jax, jnp)
@@ -134,11 +135,12 @@ def _run(result):
         result["train_samples_per_sec_rsn18"] = round(
             bench_rsn_train(jax, jnp), 1)
 
-    def family_sec(label, builder, batch, flip, quantize=False):
+    def family_sec(label, builder, batch, flip, quantize=False,
+                   flip_mode="fold"):
         def fn():
             result[label] = round(bench_family(
                 jax, jnp, builder(), batch, flip=flip,
-                quantize=quantize), 1)
+                quantize=quantize, flip_mode=flip_mode), 1)
         return fn
 
     def sec_engine():
@@ -195,6 +197,21 @@ def _run(result):
     mark("done")
 
 
+def _host_init(jax, jnp, model, shape):
+    """model.init compiled on the HOST CPU backend, then device_put to
+    the TPU.  The init graph (thousands of RNG ops) costs ~100 s to
+    compile through the axon relay but seconds on XLA-CPU, and threefry
+    is deterministic across backends so the parameters are identical
+    (measured round 4: the init compile, not the infer compile, was the
+    bulk of every bench section's wall time)."""
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        variables = jax.jit(
+            lambda r: model.init(r, jnp.zeros(shape, jnp.float32),
+                                 train=False))(jax.random.PRNGKey(0))
+    return jax.device_put(variables, jax.devices()[0])
+
+
 def _zoo_cfg(yaml_name):
     """Canonical shipped config → bench config (bf16 compute)."""
     from udp_pose_tpu.config import load_config
@@ -226,24 +243,22 @@ def _shufflenet_cfg():
 
 
 def bench_family(jax, jnp, cfg, batch, iters=(6, 18), flip=True,
-                 quantize=False, prepare=True, flip_mode="two_pass"):
+                 quantize=False, prepare=True, flip_mode="fold"):
     """Full inference pipeline (flip test + decode) crops/s for one
     config, same differencing method as the headline.  ``flip=False``
     is the serving protocol (no flip-test fold) — the raw-throughput
     shape most deployments run.  ``quantize`` amax-calibrates on one
     batch and serves w8a8 int8 (models/quantize.py); ``prepare=False``
     keeps the per-forward in-graph weight requant (A/B knob for
-    tools/profile_int8.py).  ``flip_mode``: two_pass (default — the
-    round-4 phase study measured two B-sized forwards 5.8% faster than
-    the 2B fold) or fold."""
+    tools/profile_int8.py).  ``flip_mode``: the w32-class sections pass
+    two_pass (two B-sized forwards, +4-6% at B=128 — round-4 phase
+    study); w48 keeps fold (two_pass measured 2.6x slower at B=48)."""
     from udp_pose_tpu.core.infer import make_infer_fn
     from udp_pose_tpu.models import build_model
 
     model = build_model(cfg)
     w, h = cfg.MODEL.IMAGE_SIZE
-    variables = jax.jit(
-        lambda r: model.init(r, jnp.zeros((1, h, w, 3)), train=False)
-    )(jax.random.PRNGKey(0))
+    variables = _host_init(jax, jnp, model, (1, h, w, 3))
     if quantize:
         from udp_pose_tpu.core.infer import serving_normalizer
         from udp_pose_tpu.models.quantize import QuantizedModel, calibrate

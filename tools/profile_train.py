@@ -201,6 +201,57 @@ def main(variants, B=128):
 
             results[v] = timeit("v_no_adam", state,
                                jax.jit(step, donate_argnums=(0,)), prep_norm)
+        elif v == "v_fused_bn":
+            # round-4 bwd attack: every train-mode BatchNorm rerouted to
+            # the hand-written canonical VJP (ops/fused_bn.py — bf16 x
+            # saved + relu-mask recompute instead of whatever residual
+            # set XLA's mechanical differentiation picks).  ReLU stays
+            # outside (ConvBN applies it after), so this isolates the
+            # BN-residual/schedule effect.
+            import flax.linen as nn
+            from jax import lax
+
+            from udp_pose_tpu.ops.fused_bn import _stats, bn_relu_train
+
+            cfg, model, state = build_state()
+
+            def bn_interceptor(next_fun, args, kwargs, context):
+                mod = context.module
+                if (type(mod) is not nn.BatchNorm
+                        or context.method_name != "__call__"
+                        or mod.use_running_average):
+                    return next_fun(*args, **kwargs)
+                x = args[0]
+                scale = mod.variables["params"]["scale"]
+                bias = mod.variables["params"]["bias"]
+                y = bn_relu_train(x, scale, bias, mod.epsilon, False)
+                mean, var = _stats(
+                    lax.stop_gradient(x).astype(jnp.float32))
+                m = mod.momentum
+                ra_mean = mod.variables["batch_stats"]["mean"]
+                ra_var = mod.variables["batch_stats"]["var"]
+                mod.put_variable("batch_stats", "mean",
+                                 m * ra_mean + (1 - m) * mean)
+                mod.put_variable("batch_stats", "var",
+                                 m * ra_var + (1 - m) * var)
+                return y.astype(x.dtype)
+
+            class _FusedBNModel:
+                def __init__(self, inner):
+                    self._inner = inner
+
+                def __getattr__(self, name):
+                    return getattr(self._inner, name)
+
+                def apply(self, *a, **kw):
+                    with nn.intercept_methods(bn_interceptor):
+                        return self._inner.apply(*a, **kw)
+
+            fm = _FusedBNModel(model)
+            state = state.replace(apply_fn=fm.apply)
+            step = make_train_step(make_loss_fn(cfg))
+            results[v] = timeit("v_fused_bn (custom BN VJP)", state,
+                                step, prep_norm)
         elif v == "v_remat_stem":
             # selective remat: recompute only the memory-bound hi-res
             # stem/layer1 activations in bwd

@@ -236,6 +236,10 @@ def default_config() -> Node:
     c.TEST = Node()
     c.TEST.BATCH_SIZE_PER_GPU = 32
     c.TEST.FLIP_TEST = False
+    # flip-test schedule inside the jit graph: 'fold' (one 2B-concat
+    # forward) or 'two_pass' (two B-sized forwards — faster once the
+    # serving batch alone fills the chip; round-4 study, core/infer.py)
+    c.TEST.FLIP_MODE = "fold"
     c.TEST.POST_PROCESS = False
     c.TEST.SHIFT_HEATMAP = False
     c.TEST.USE_GT_BBOX = False

@@ -43,7 +43,7 @@ def make_infer_fn(model, *, target_type: str = "gaussian",
                   flip_test: bool = True, post_process: bool = True,
                   kpd: float = 4.0,
                   flip_pairs: Sequence = COCO_FLIP_PAIRS,
-                  normalize: bool = True, flip_mode: str = "two_pass"):
+                  normalize: bool = True, flip_mode: str = "fold"):
     """Build ``infer(variables, images, center, scale) -> (preds, maxvals)``.
 
     ``images``: (B, H, W, 3) RGB crops — raw [0,255] if ``normalize`` else
@@ -53,12 +53,14 @@ def make_infer_fn(model, *, target_type: str = "gaussian",
     (sample-wise math is identical either way; both replace the
     reference's two sequential forwards with host numpy flips between,
     function.py:151-171):
-      * ``"two_pass"`` (default): two B-sized forwards.  XLA tiles the
-        convs measurably better at the serving batch than at 2B — the
-        round-4 phase study measured 41.0 vs 43.4 ms/it for the w32 int8
-        flip pipeline at B=128 (+5.8%), and the same direction in bf16.
-      * ``"fold"``: one forward on the 2B concat (the round-1 design) —
-        kept for A/B and for meshes where a bigger batch helps sharding.
+      * ``"fold"`` (default): one forward on the 2B concat — right
+        whenever B alone under-fills the chip (the usual eval batch 32,
+        and w48 384x288 where two_pass measured 2.6x SLOWER at B=48).
+      * ``"two_pass"``: two B-sized forwards.  XLA tiles the convs
+        measurably better at the serving batch than at 2B once B fills
+        the chip — the round-4 phase study measured +5.8% (int8) / +4%
+        (bf16) for w32 at B=128.  Pick per deployment (TEST.FLIP_MODE);
+        sample-wise math is identical either way.
     """
     pairs = tuple(tuple(p) for p in flip_pairs)
     if flip_mode not in ("two_pass", "fold"):
@@ -100,4 +102,5 @@ def make_infer_fn_from_cfg(model, cfg, flip_pairs=COCO_FLIP_PAIRS):
         post_process=cfg.TEST.POST_PROCESS,
         kpd=cfg.LOSS.KPD,
         flip_pairs=flip_pairs,
+        flip_mode=cfg.TEST.get("FLIP_MODE", "fold"),
     )

@@ -82,13 +82,13 @@ def make_rsn_train_step(stage_num: int, ohkm=True, topk=8,
 
 def make_rsn_infer_fn(model, *, flip_test=True, flip_pairs,
                       kernel=5, shifts=(0.25,), input_size_hw=(256, 192),
-                      flip_mode="two_pass"):
+                      flip_mode="fold"):
     """Flip-test + RSN decode in one jit graph (RSN test.py:74-116).
 
-    ``flip_mode`` as in core.infer.make_infer_fn: ``two_pass`` (default)
-    runs two B-sized forwards — XLA tiles the convs better at the
-    serving batch than at 2B (round-4 phase study) — ``fold`` keeps the
-    round-1 2B-concat schedule; sample-wise math is identical."""
+    ``flip_mode`` as in core.infer.make_infer_fn: ``fold`` (default)
+    concats to one 2B forward; ``two_pass`` runs two B-sized forwards —
+    faster once B alone fills the chip (round-4 phase study); sample-
+    wise math is identical."""
     pairs = tuple(map(tuple, flip_pairs))
 
     @jax.jit
