@@ -22,6 +22,10 @@ from tools.collective_accounting import (account_hlo, run_mode,
                                          wire_bytes_per_chip)
 
 
+# multi-device compiles / subprocess drives: slow tier (pytest.ini)
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def censuses():
     out = {}

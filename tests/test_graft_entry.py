@@ -1,11 +1,16 @@
 """Driver-contract tests: entry() compiles, dryrun_multichip(8) runs."""
 
+import pytest
+
 import sys
 
 sys.path.insert(0, "/root/repo")
 
 import jax
 import numpy as np
+
+# multi-device compiles / subprocess drives: slow tier (pytest.ini)
+pytestmark = pytest.mark.slow
 
 
 def test_entry_jits():

@@ -23,6 +23,9 @@ import pytest
 
 from __graft_entry__ import _hrnet_w32_cfg
 
+# multi-device compiles / subprocess drives: slow tier (pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 def _w32_multimodule_small():
     cfg = _hrnet_w32_cfg((64, 64), (16, 16), dtype="float32")

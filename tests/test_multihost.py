@@ -22,6 +22,9 @@ import pytest
 
 from ref_harness import make_mini_coco
 
+# multi-device compiles / subprocess drives: slow tier (pytest.ini)
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CFG_YAML = """

@@ -48,6 +48,9 @@ from udp_pose_tpu.parallel.pipeline import (_stage_io_shapes,
                                             pipeline_state_sharding,
                                             split_rsn_variables)
 
+# multi-device compiles / subprocess drives: slow tier (pytest.ini)
+pytestmark = pytest.mark.slow
+
 S = 2          # stages == pipeline ranks
 N_MICRO = 2
 

@@ -13,6 +13,8 @@ mid-epoch with SIGTERM, resumed, and compared leaf-by-leaf against an
 uninterrupted control run.
 """
 
+import pytest
+
 import os
 import signal
 import subprocess
@@ -22,6 +24,9 @@ import time
 import numpy as np
 
 from ref_harness import make_mini_coco
+
+# multi-device compiles / subprocess drives: slow tier (pytest.ini)
+pytestmark = pytest.mark.slow
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

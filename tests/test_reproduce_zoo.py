@@ -16,6 +16,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from ref_harness import make_mini_coco  # noqa: E402
 
+# multi-device compiles / subprocess drives: slow tier (pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 def _tiny_cfg(root):
     from udp_pose_tpu.config import default_config

@@ -15,6 +15,9 @@ import urllib.request
 import numpy as np
 import pytest
 
+# multi-device compiles / subprocess drives: slow tier (pytest.ini)
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CFG_YAML = """

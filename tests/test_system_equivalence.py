@@ -30,8 +30,9 @@ torch = pytest.importorskip("torch")
 from ref_harness import (RefEvalTransform, install_reference_env,
                          make_mini_coco, reference_present)
 
-pytestmark = pytest.mark.skipif(not reference_present(),
-                                reason="reference checkout not present")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(not reference_present(),
+                                reason="reference checkout not present")]
 
 TINY_HRNET_EXTRA = {
     "FINAL_CONV_KERNEL": 1,

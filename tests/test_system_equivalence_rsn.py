@@ -20,8 +20,9 @@ torch = pytest.importorskip("torch")
 
 from ref_harness import make_mini_coco_rsn, reference_present
 
-pytestmark = pytest.mark.skipif(not reference_present(),
-                                reason="reference checkout not present")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(not reference_present(),
+                                reason="reference checkout not present")]
 
 RUNNER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "rsn_ref_runner.py")

@@ -32,6 +32,9 @@ from udp_pose_tpu.parallel import (make_mesh, replicated, shard_batch,
                                    tensor_parallel_sharding)
 from udp_pose_tpu.ops.targets import batch_gaussian_targets
 
+# multi-device compiles / subprocess drives: slow tier (pytest.ini)
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

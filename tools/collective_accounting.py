@@ -119,7 +119,11 @@ def build_step(full: bool, per_chip_batch: int, n_data: int, n_model: int):
     mesh = make_mesh(n_data, n_model,
                      devices=jax.devices()[:n_data * n_model])
     model = build_model(cfg)
-    state = create_train_state(cfg, model, jax.random.PRNGKey(0), 10)
+    # shapes only — eval_shape the whole state so the (expensive on
+    # XLA-CPU) init/optimizer graphs are never compiled; only the step
+    # itself compiles, which is the artifact being accounted
+    state = jax.eval_shape(
+        lambda: create_train_state(cfg, model, jax.random.PRNGKey(0), 10))
     step = make_train_step(make_loss_fn(cfg))
 
     B = per_chip_batch * n_data
