@@ -319,7 +319,8 @@ def bench_family(jax, jnp, cfg, batch, iters=(6, 18), flip=True,
     else:
         infer = make_infer_fn(model, target_type=cfg.MODEL.TARGET_TYPE,
                               flip_test=flip, post_process=True,
-                              kpd=cfg.LOSS.KPD, flip_mode=flip_mode)
+                              kpd=cfg.LOSS.KPD, flip_mode=flip_mode,
+                              return_heatmaps=False)
     rng_np = np.random.default_rng(3)
     images = jax.device_put(rng_np.integers(
         0, 256, (batch, h, w, 3)).astype(np.uint8))
