@@ -181,17 +181,29 @@ def _run(result):
                     True)),
         ("engine", 280, sec_engine),
     ]
+    # Adaptive budgeting: the relay's compile speed varies run to run
+    # (observed 200 -> 650 s for the same train section across days), so
+    # each section's estimate is scaled by the running ratio of actual
+    # to estimated wall time of the sections completed so far — slow
+    # days skip the tail earlier, fast days fit everything.
     skipped = []
+    est_done, act_done = 280.0, time.perf_counter() - t0  # headline est
     for name, est, fn in sections:
-        if remaining() < est:
-            log(f"skipping {name}: {remaining():.0f}s left < {est}s est")
+        ratio = max(1.0, act_done / max(est_done, 1.0))
+        scaled = est * ratio
+        if remaining() < scaled:
+            log(f"skipping {name}: {remaining():.0f}s left < "
+                f"{scaled:.0f}s scaled est (x{ratio:.2f})")
             skipped.append(name)
             continue
         mark(name)
+        sec_t0 = time.perf_counter()
         try:
             fn()
         except Exception as e:      # secondary metric must not kill the run
             log(f"{name} failed: {e!r}")
+        est_done += est
+        act_done += time.perf_counter() - sec_t0
     if skipped:
         result["sections_skipped"] = skipped
     mark("done")
