@@ -96,7 +96,7 @@ def wire_bytes_per_chip(census, axis_size: int) -> int:
     return int(total)
 
 
-def build_step(full: bool, per_chip_batch: int, n_data: int, n_model: int):
+def build_step(full, per_chip_batch: int, n_data: int, n_model: int):
     import jax
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -108,9 +108,20 @@ def build_step(full: bool, per_chip_batch: int, n_data: int, n_model: int):
     from udp_pose_tpu.parallel import (make_mesh, replicated,
                                        tensor_parallel_sharding)
 
-    if full:
+    if full in ("full", True):
         cfg = _hrnet_w32_cfg((192, 256), (48, 64), dtype="bfloat16")
-        H = W = None
+        img_hw, tgt_hw = (256, 192), (64, 48)
+    elif full == "real-shapes":
+        # full 256x192 shapes, 1 module/stage: the per-layer collective
+        # SHAPES (halo rows, activation gathers) are exact; only the
+        # repeat count differs from the full net — the dp grad
+        # all-reduce is scaled analytically instead (bytes = param
+        # bytes, exact by construction).  The full-topology XLA-CPU
+        # 8-device compile measures in hours on this host; this mode
+        # compiles in minutes.
+        cfg = _hrnet_w32_cfg((192, 256), (48, 64), dtype="bfloat16")
+        for k in ("STAGE2", "STAGE3", "STAGE4"):
+            cfg.MODEL.EXTRA[k]["NUM_MODULES"] = 1
         img_hw, tgt_hw = (256, 192), (64, 48)
     else:
         cfg = _reduced_flagship_cfg()
@@ -151,6 +162,7 @@ def build_step(full: bool, per_chip_batch: int, n_data: int, n_model: int):
 
 
 def run_mode(name, full, per_chip_batch, n_data, n_model, sp=False):
+    # ``full``: False/'reduced' | 'real-shapes' | True/'full' 
     """Compile one mode and return its census dict."""
     import jax
     step, state_structs, batch_structs, mesh = build_step(
@@ -199,11 +211,13 @@ def main():
     import jax
     jax.config.update("jax_platforms", "cpu")
 
-    pcb = args.per_chip_batch or (16 if args.full else 2)
+    mode = ("full" if args.full
+            else "real-shapes" if args.real_shapes else False)
+    pcb = args.per_chip_batch or (16 if mode else 2)
     ICI_BPS = 200e9          # v5e: 1600 Gbps/chip/direction (public spec)
     rows = []
     for name, n_data, n_model, sp in MODES:
-        census, flops = run_mode(name, args.full, pcb, n_data, n_model,
+        census, flops = run_mode(name, mode, pcb, n_data, n_model,
                                  sp=sp)
         axis = max(n_data, n_model) if n_model == 1 else n_model
         # grad all-reduce rides 'data'; model-axis collectives ride
@@ -216,8 +230,8 @@ def main():
                      "t_ici_ms": round(t_ici_ms, 3),
                      "flops_per_step": flops})
         if not args.json:
-            print(f"== {name} (per-chip batch {pcb}"
-                  f"{', full w32' if args.full else ', reduced proxy'})")
+            print(f"== {name} (per-chip batch {pcb}, "
+                  f"{mode or 'reduced proxy'})")
             for kind in sorted(census):
                 ent = census[kind]
                 print(f"   {kind:20s} x{ent['count']:<4d} "
