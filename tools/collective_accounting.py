@@ -199,7 +199,10 @@ MODES = (
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true",
-                    help="full w32 256x192 (slow XLA-CPU compile)")
+                    help="full w32 256x192 (XLA-CPU compile: hours)")
+    ap.add_argument("--real-shapes", action="store_true",
+                    help="1 module/stage at the REAL 256x192 shapes "
+                         "(exact per-layer collective shapes, minutes)")
     ap.add_argument("--per-chip-batch", type=int, default=None,
                     help="default: 16 full / 2 reduced")
     ap.add_argument("--json", action="store_true")
