@@ -252,6 +252,44 @@ def main(variants, B=128):
             step = make_train_step(make_loss_fn(cfg))
             results[v] = timeit("v_fused_bn (custom BN VJP)", state,
                                 step, prep_norm)
+        elif v == "v_fused_bn_relu":
+            # like v_fused_bn but the ConvBN-level ReLU is fused INTO the
+            # custom VJP (no separate relu residual/mask tensor at all):
+            # temporarily swap layers.ConvBN.__call__ for a body that
+            # ends in FusedBatchNorm(relu=...).
+            import flax.linen as nn
+
+            import udp_pose_tpu.models.layers as L
+            from udp_pose_tpu.ops.fused_bn import FusedBatchNorm
+
+            def patched_call(self, x, train=False):
+                pad = (self.kernel - 1) // 2
+                x = nn.Conv(self.features, (self.kernel, self.kernel),
+                            strides=(self.stride, self.stride),
+                            padding=((pad, pad), (pad, pad)),
+                            use_bias=self.use_bias, dtype=self.dtype,
+                            name="conv")(x)
+                return FusedBatchNorm(
+                    use_running_average=not train, momentum=L.BN_MOMENTUM,
+                    epsilon=1e-5, dtype=self.dtype, relu=self.relu,
+                    name="bn")(x)
+
+            # a proper flax subclass (ModuleMeta wraps the method) swapped
+            # into the two module-global lookup sites for the build
+            import udp_pose_tpu.models.hrnet as H
+
+            class FusedConvBN(L.ConvBN):
+                __call__ = nn.compact(patched_call)
+
+            orig = L.ConvBN
+            L.ConvBN = H.ConvBN = FusedConvBN
+            try:
+                cfg, model, state = build_state()
+                step = make_train_step(make_loss_fn(cfg))
+                results[v] = timeit("v_fused_bn_relu (BN+ReLU VJP)",
+                                    state, step, prep_norm)
+            finally:
+                L.ConvBN = H.ConvBN = orig
         elif v == "v_remat_stem":
             # selective remat: recompute only the memory-bound hi-res
             # stem/layer1 activations in bwd
