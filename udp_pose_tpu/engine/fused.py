@@ -286,6 +286,11 @@ class FusedDetectPose:
                 c, s, 0.0, (pw, ph), inv=True))(center, scale)
             crops = crop_boxes(frame, mats, (ph, pw))
             xc = normalize_images(crops)
+            pose_dtype = getattr(self._pose._active_model(), "dtype", None)
+            if pose_dtype == jnp.bfloat16:
+                # value-identical early cast (first conv casts anyway);
+                # halves the normalized-crop traffic (round-4 A/B)
+                xc = xc.astype(jnp.bfloat16)
             if flip:
                 xc = jnp.concatenate([xc, xc[:, :, ::-1, :]], axis=0)
             out = self._pose._active_model().apply(pose_vars, xc,
@@ -341,6 +346,9 @@ class FusedDetectPose:
 
         def run_pose(pose_vars, crops_u8, center, scale):
             xc = normalize_images(crops_u8)
+            if getattr(self._pose._active_model(), "dtype",
+                       None) == jnp.bfloat16:
+                xc = xc.astype(jnp.bfloat16)
             if flip:
                 xc = jnp.concatenate([xc, xc[:, :, ::-1, :]], axis=0)
             out = self._pose._active_model().apply(pose_vars, xc,
