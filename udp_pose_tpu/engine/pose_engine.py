@@ -222,8 +222,14 @@ class UdpPosePipeline:
         prep = self._make_prep()
         model = self.model if force_fp else self._active_model()
 
+        model_dtype = getattr(model, "dtype", None)
+
         def run(variables, frame, center, scale):
             x = prep(frame, center, scale)
+            if model_dtype == jnp.bfloat16:
+                # value-identical early cast (first conv casts anyway);
+                # halves normalized-crop + flip-copy traffic (round-4)
+                x = x.astype(jnp.bfloat16)
             B = x.shape[0]
             if flip:
                 x = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0)
