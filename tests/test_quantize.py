@@ -797,3 +797,38 @@ def test_test_cli_quantize_int8_rsn(tmp_path):
     blob = p.stdout + p.stderr
     assert "int8 PTQ: calibrated" in blob
     assert "AP" in blob
+
+
+def test_bf16_early_cast_drift_bounded(trained):
+    """The serving graphs cast normalized inputs to bf16 early when the
+    model computes in bf16 (round-4 perf fix; value-identical for the
+    bf16 forward itself, but the int8 quantizer then rounds FROM bf16).
+    Bound the decoded drift of [bf16 model + early cast + int8] against
+    the fp32-model int8 path on the trained fixture."""
+    cfg, model, variables, images, joints = trained
+    B = images.shape[0]
+    center = np.tile(np.array([[32.0, 32.0]], np.float32), (B, 1))
+    scale = np.tile(np.array([[0.32, 0.32]], np.float32), (B, 1))
+
+    scales = calibrate(model, variables, [normalize_images(images)])
+
+    # fp32 model, int8 convs (the existing bounded path)
+    qm32 = QuantizedModel(model, scales)
+    infer32 = make_infer_fn(qm32, target_type="gaussian", flip_test=True)
+    p32, _, _ = infer32(qm32.prepare_variables(variables), images,
+                        center, scale)
+
+    # same weights served through a bf16-dtype model: make_infer_fn's
+    # early cast engages (model.dtype == bfloat16)
+    bcfg = cfg.clone(); bcfg.defrost(); bcfg.TPU.DTYPE = "bfloat16"
+    bmodel = build_model(bcfg)
+    qm16 = QuantizedModel(bmodel, scales)
+    infer16 = make_infer_fn(qm16, target_type="gaussian", flip_test=True)
+    p16, _, _ = infer16(qm16.prepare_variables(variables), images,
+                        center, scale)
+
+    d = np.linalg.norm(np.asarray(p16) - np.asarray(p32), axis=-1)
+    # heatmap-space px (4x stride): bf16 rounding into the int8 grid
+    # must stay sub-pixel
+    assert np.median(d) < 1.0, f"bf16-cast int8 drift median {np.median(d)}"
+    assert (d < 4.0).mean() > 0.95, f"p95 {np.percentile(d, 95)}"
