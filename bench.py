@@ -97,15 +97,26 @@ def _run(result):
     def mark(section):
         log(f"[bench +{time.perf_counter() - t0:.0f}s] {section}")
 
-    # ---- headline: w32 flip-test, int8 two_pass (always runs) ----------
+    # ---- headline: w32 flip-test, int8 two_pass (always runs).  A
+    # failure anywhere in the quantization machinery must not wipe the
+    # round's comparables: fall back to the bf16 protocol as the
+    # headline (marked) and keep going.
     mark("headline w32 int8 fliptest")
-    cps_int8 = bench_family(jax, jnp, _headline_cfg(), 128, flip=True,
-                            quantize=True, flip_mode="two_pass")
+    headline_protocol = "int8"
+    try:
+        cps = bench_family(jax, jnp, _headline_cfg(), 128, flip=True,
+                           quantize=True, flip_mode="two_pass")
+    except Exception as e:
+        log(f"int8 headline failed ({e!r}); falling back to bf16")
+        headline_protocol = "bf16-fallback"
+        result["headline_int8_error"] = repr(e)[:200]
+        cps = bench_family(jax, jnp, _headline_cfg(), 128, flip=True,
+                           flip_mode="two_pass")
     result.update({
-        "value": round(cps_int8, 1),
-        "vs_baseline": round(cps_int8 / A100_EST_CROPS_PER_SEC, 3),
+        "value": round(cps, 1),
+        "vs_baseline": round(cps / A100_EST_CROPS_PER_SEC, 3),
         "batch": 128,
-        "crops_per_sec_w32_256x192_fliptest_int8": round(cps_int8, 1),
+        "headline_protocol": headline_protocol,
         "notes": "full pipeline: normalize + two_pass flip forwards + "
                  "unflip + UDP offset decode; HEADLINE IS int8 PTQ "
                  "serving (w8a8 MXU path; drift bound "
@@ -117,11 +128,17 @@ def _run(result):
                  "train = HRNet-w32 offset fwd+bwd+adam @ B=128; "
                  "engine = fused detect+pose on 720p",
     })
+    if headline_protocol == "int8":
+        result["crops_per_sec_w32_256x192_fliptest_int8"] = round(cps, 1)
     result.pop("partial", None)
 
     # ---- secondary sections, value-ordered; each yields to the budget
     # (estimates are measured r04 wall costs incl. remote compile) -------
     def sec_bf16_flip():
+        if headline_protocol != "int8":
+            result["crops_per_sec_w32_256x192_fliptest_bf16"] = result[
+                "value"]
+            return
         result["crops_per_sec_w32_256x192_fliptest_bf16"] = round(
             bench_family(jax, jnp, _headline_cfg(), 128, flip=True,
                          flip_mode="two_pass"), 1)

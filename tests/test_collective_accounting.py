@@ -81,28 +81,40 @@ def test_tp_channel_sharding_collectives(censuses):
 
 
 def test_wire_model_and_parser():
-    """Ring-model arithmetic + parser on a hand-written HLO snippet."""
+    """Ring-model arithmetic + parser on a hand-written HLO snippet:
+    per-op replica-group sizes (explicit list, iota form, and the
+    all-devices shorthand falling back to default_group)."""
     hlo = """
-  %ar = f32[1024]{0} all-reduce(f32[1024]{0} %x), replica_groups={}
-  %ag.1 = bf16[8,128]{1,0} all-gather(bf16[1,128]{1,0} %y), dimensions={0}
+  %ar = f32[1024]{0} all-reduce(f32[1024]{0} %x), replica_groups={{0,1,2,3},{4,5,6,7}}
+  %ag.1 = bf16[8,128]{1,0} all-gather(bf16[1,128]{1,0} %y), replica_groups=[4,2]<=[8], dimensions={0}
   %cp = f32[4,4]{1,0} collective-permute(f32[4,4]{1,0} %z)
+  %ar2 = f32[512]{0} all-reduce(f32[512]{0} %w), replica_groups={}
   %other = f32[2]{0} add(f32[2]{0} %a, f32[2]{0} %b)
 """
-    census = account_hlo(hlo)
-    assert census["all-reduce"] == {"count": 1, "bytes": 4096}
-    assert census["all-gather"] == {"count": 1, "bytes": 8 * 128 * 2}
-    assert census["collective-permute"] == {"count": 1, "bytes": 64}
+    census = account_hlo(hlo, default_group=8)
+    assert census["all-reduce"]["count"] == 2
+    assert census["all-reduce"]["bytes"] == 4096 + 2048
+    assert census["all-reduce"]["by_group"] == {4: 4096, 8: 2048}
+    assert census["all-gather"]["by_group"] == {2: 8 * 128 * 2}
+    assert census["collective-permute"]["bytes"] == 64
     assert "add" not in census
 
-    wire = wire_bytes_per_chip(census, 2)
-    # ar: 2*(1/2)*4096 = 4096; ag: (1/2)*2048 = 1024; cp: 64
-    assert wire == 4096 + 1024 + 64
+    wire = wire_bytes_per_chip(census, 8)
+    # ar@4: 2*(3/4)*4096 = 6144; ar@8: 2*(7/8)*2048 = 3584;
+    # ag@2: (1/2)*2048 = 1024; cp: 64
+    assert wire == 6144 + 3584 + 1024 + 64
 
 
-def test_async_start_done_counted_once():
+def test_async_start_done_counted_once_with_tuple():
+    """-start ops return (operand alias, result[, context]); the payload
+    is the LARGEST shape, counted once (not the tuple sum), and -done
+    is skipped."""
     hlo = """
-  %s = f32[256]{0} all-reduce-start(f32[256]{0} %x)
+  %s = (f32[256]{0}, f32[256]{0}) all-reduce-start(f32[256]{0} %x), replica_groups={{0,1}}
   %d = f32[256]{0} all-reduce-done(f32[256]{0} %s)
+  %g = (bf16[1,64]{1,0}, bf16[4,64]{1,0}) all-gather-start(bf16[1,64]{1,0} %y), replica_groups={{0,1,2,3}}
 """
     census = account_hlo(hlo)
-    assert census["all-reduce"] == {"count": 1, "bytes": 1024}
+    assert census["all-reduce"] == {"count": 1, "bytes": 1024,
+                                    "by_group": {2: 1024}}
+    assert census["all-gather"]["bytes"] == 4 * 64 * 2

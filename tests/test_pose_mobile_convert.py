@@ -184,7 +184,7 @@ def test_shufflenetv2_test_parity():
         {k: v.numpy() for k, v in tmodel.state_dict().items()})
     assert not unused, unused[:8]
 
-    cfg = _pose_cfg("shufflenetv2_test")
+    cfg = _pose_cfg("shufflenetv2_test", target_type="offset")
     cfg.MODEL.IMAGE_SIZE = [192, 256]       # the file's own smoke shape
     cfg.MODEL.HEATMAP_SIZE = [48, 64]       # (:248 rand(5,3,192,256))
     fmodel = build_model(cfg)

@@ -60,12 +60,49 @@ def _shape_bytes(shape_text: str) -> int:
     return total
 
 
-def account_hlo(hlo_text: str):
+_GROUPS_LIST_RE = re.compile(r"replica_groups=\{\{([\d,]+)\}")
+_GROUPS_IOTA_RE = re.compile(r"replica_groups=\[(\d+),(\d+)\]<=")
+
+
+def _group_size(line: str):
+    """Per-op participant count from replica_groups (None if absent or
+    the all-devices shorthand ``{}``)."""
+    m = _GROUPS_LIST_RE.search(line)
+    if m:
+        return m.group(1).count(",") + 1
+    m = _GROUPS_IOTA_RE.search(line)
+    if m:                      # iota form [groups, group_size]<=[n]
+        return int(m.group(2))
+    return None
+
+
+def _op_bytes(shape_text: str) -> int:
+    """Tensor bytes for one op: the LARGEST shape in the result text.
+
+    Sync ops have one result shape.  Async ``-start`` ops return tuples
+    (operand alias, result buffer[, context scalars]); the max shape is
+    the payload for every collective kind — all-gather's gathered
+    result, reduce-scatter's pre-scatter operand, permute's buffer —
+    matching the per-kind wire factors below.
+    """
+    best = 0
+    for dt, dims in _SHAPE_RE.findall(shape_text):
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        best = max(best, n * _DTYPE_BYTES[dt])
+    return best
+
+
+def account_hlo(hlo_text: str, default_group: int = 8):
     """Collective census of one optimized HLO module.
 
-    Returns {op_kind: {"count": n, "bytes": result-tensor bytes}} where
-    ``bytes`` sums each op's RESULT shape(s).  ``-start``/``-done`` async
-    pairs are counted once (on the -start; -done repeats the shape).
+    Returns {op_kind: {"count": n, "bytes": N, "by_group": {a: N_a}}}
+    where ``bytes`` sums each op's payload (largest result shape — see
+    :func:`_op_bytes`), attributed per replica-group size ``a`` so the
+    ring model can cost each op at ITS OWN axis.  ``-start``/``-done``
+    async pairs are counted once (on the -start).
     """
     out = {}
     for line in hlo_text.splitlines():
@@ -75,24 +112,37 @@ def account_hlo(hlo_text: str):
         if not m:
             continue
         shape_text, kind = m.group(1), m.group(2)
-        ent = out.setdefault(kind, {"count": 0, "bytes": 0})
+        a = _group_size(line) or default_group
+        n = _op_bytes(shape_text)
+        ent = out.setdefault(kind, {"count": 0, "bytes": 0,
+                                    "by_group": {}})
         ent["count"] += 1
-        ent["bytes"] += _shape_bytes(shape_text)
+        ent["bytes"] += n
+        ent["by_group"][a] = ent["by_group"].get(a, 0) + n
     return out
 
 
+def _ring_factor(kind: str, a: int) -> float:
+    if a <= 1:
+        return 0.0
+    if kind == "all-reduce":
+        return 2 * (a - 1) / a
+    if kind in ("all-gather", "reduce-scatter", "all-to-all"):
+        return (a - 1) / a
+    return 1.0                                  # collective-permute
+
+
 def wire_bytes_per_chip(census, axis_size: int) -> int:
-    """Ring-model bytes through each chip's ICI links for one step."""
-    a = axis_size
+    """Ring-model bytes through each chip's ICI links for one step.
+
+    Each op is costed at its own replica-group size (``by_group``);
+    ``axis_size`` is only the fallback for censuses without group info
+    (e.g. hand-written test HLO with ``replica_groups={}``)."""
     total = 0.0
     for kind, ent in census.items():
-        n = ent["bytes"]
-        if kind == "all-reduce":
-            total += 2 * (a - 1) / a * n
-        elif kind in ("all-gather", "reduce-scatter", "all-to-all"):
-            total += (a - 1) / a * n
-        else:                                   # collective-permute
-            total += n
+        groups = ent.get("by_group") or {axis_size: ent["bytes"]}
+        for a, n in groups.items():
+            total += _ring_factor(kind, a or axis_size) * n
     return int(total)
 
 
@@ -182,7 +232,8 @@ def run_mode(name, full, per_chip_batch, n_data, n_model, sp=False):
                                            sharding=replicated(mesh)),
             state_structs)
     compiled = step.lower(state_structs, batch_structs).compile()
-    census = account_hlo(compiled.as_text())
+    census = account_hlo(compiled.as_text(),
+                         default_group=n_data * n_model)
     cost = compiled.cost_analysis()
     flops = (cost or {}).get("flops", 0.0)
     return census, flops
@@ -222,11 +273,9 @@ def main():
     for name, n_data, n_model, sp in MODES:
         census, flops = run_mode(name, mode, pcb, n_data, n_model,
                                  sp=sp)
-        axis = max(n_data, n_model) if n_model == 1 else n_model
-        # grad all-reduce rides 'data'; model-axis collectives ride
-        # 'model' — account each at its own axis size, conservatively
-        # using the larger ring factor when mixed
-        wire = wire_bytes_per_chip(census, 8 if n_model == 1 else 2)
+        # each op is costed at its own replica-group size (parsed from
+        # the HLO); the fallback only applies to group-less ops
+        wire = wire_bytes_per_chip(census, n_data * n_model)
         t_ici_ms = wire / ICI_BPS * 1e3
         rows.append({"mode": name, "census": census,
                      "wire_bytes_per_chip": wire,

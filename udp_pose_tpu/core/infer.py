@@ -39,6 +39,21 @@ def serving_normalizer(cfg):
 MPII_FLIP_PAIRS = ((0, 5), (1, 4), (2, 3), (10, 15), (11, 14), (12, 13))
 
 
+def cast_to_compute_dtype(model, x):
+    """Early cast of normalized inputs to the model's COMPUTE dtype.
+
+    For bf16 models the first conv casts its input anyway, so casting
+    right after normalize is value-identical while halving the
+    normalized-image HBM traffic (and any flip copy's) — measured +1.8%
+    on the w32 int8 flip pipeline at B=128 (round-4 A/B).  The int8
+    serving path then rounds from bf16; the decoded drift stays
+    sub-pixel (tests/test_quantize.py::test_bf16_early_cast_drift_
+    bounded).  No-op for fp32 models."""
+    if getattr(model, "dtype", None) == jnp.bfloat16:
+        return x.astype(jnp.bfloat16)
+    return x
+
+
 def make_infer_fn(model, *, target_type: str = "gaussian",
                   flip_test: bool = True, post_process: bool = True,
                   kpd: float = 4.0,
@@ -71,18 +86,10 @@ def make_infer_fn(model, *, target_type: str = "gaussian",
     # doesn't) — measured +0.4 ms/it at the w32 B=128 flip point just
     # from not materializing it as a result buffer.
 
-    # normalize emits the model's COMPUTE dtype: for bf16 models the
-    # first conv casts its input anyway, so an early cast is
-    # value-identical while halving the normalized-image HBM traffic
-    # (and the flip copy's) — measured +1.8% on the w32 int8 flip
-    # pipeline at B=128 (round-4 batch-3 A/B).
-    model_dtype = getattr(model, "dtype", None)
-
     @jax.jit
     def infer(variables, images, center, scale):
         x = normalize_images(images) if normalize else images
-        if model_dtype == jnp.bfloat16:
-            x = x.astype(jnp.bfloat16)
+        x = cast_to_compute_dtype(model, x)
         B = x.shape[0]
         if flip_test and flip_mode == "fold":
             x = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0)

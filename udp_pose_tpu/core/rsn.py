@@ -90,15 +90,11 @@ def make_rsn_infer_fn(model, *, flip_test=True, flip_pairs,
     faster once B alone fills the chip (round-4 phase study); sample-
     wise math is identical."""
     pairs = tuple(map(tuple, flip_pairs))
-    # early cast to the model compute dtype (value-identical for bf16
-    # models — the first conv casts anyway; halves normalize traffic)
-    model_dtype = getattr(model, "dtype", None)
 
     @jax.jit
     def infer(variables, images, center, scale):
-        x = _rsn_normalize(images)
-        if model_dtype == jnp.bfloat16:
-            x = x.astype(jnp.bfloat16)
+        from .infer import cast_to_compute_dtype
+        x = cast_to_compute_dtype(model, _rsn_normalize(images))
         B = x.shape[0]
         if flip_test and flip_mode == "fold":
             x = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0)

@@ -49,7 +49,8 @@ def validate(cfg, dataset, model, variables, output_dir="",
                 model, flip_test=cfg.TEST.FLIP_TEST, flip_pairs=pairs,
                 kernel=attr["test_gaussian_kernel"],
                 shifts=tuple(attr["test_shift_ratios"]),
-                input_size_hw=(h, w))
+                input_size_hw=(h, w),
+                flip_mode=cfg.TEST.get("FLIP_MODE", "fold"))
         else:
             infer_fn = make_infer_fn_from_cfg(model, cfg, flip_pairs=pairs)
     batch_size = batch_size or cfg.TEST.BATCH_SIZE_PER_GPU

@@ -285,12 +285,9 @@ class FusedDetectPose:
             mats = jax.vmap(lambda c, s: classic_affine_matrix(
                 c, s, 0.0, (pw, ph), inv=True))(center, scale)
             crops = crop_boxes(frame, mats, (ph, pw))
-            xc = normalize_images(crops)
-            pose_dtype = getattr(self._pose._active_model(), "dtype", None)
-            if pose_dtype == jnp.bfloat16:
-                # value-identical early cast (first conv casts anyway);
-                # halves the normalized-crop traffic (round-4 A/B)
-                xc = xc.astype(jnp.bfloat16)
+            from ..core.infer import cast_to_compute_dtype
+            xc = cast_to_compute_dtype(self._pose._active_model(),
+                                       normalize_images(crops))
             if flip:
                 xc = jnp.concatenate([xc, xc[:, :, ::-1, :]], axis=0)
             out = self._pose._active_model().apply(pose_vars, xc,
@@ -345,10 +342,9 @@ class FusedDetectPose:
         flip = self._pose._flip
 
         def run_pose(pose_vars, crops_u8, center, scale):
-            xc = normalize_images(crops_u8)
-            if getattr(self._pose._active_model(), "dtype",
-                       None) == jnp.bfloat16:
-                xc = xc.astype(jnp.bfloat16)
+            from ..core.infer import cast_to_compute_dtype
+            xc = cast_to_compute_dtype(self._pose._active_model(),
+                                       normalize_images(crops_u8))
             if flip:
                 xc = jnp.concatenate([xc, xc[:, :, ::-1, :]], axis=0)
             out = self._pose._active_model().apply(pose_vars, xc,

@@ -222,14 +222,10 @@ class UdpPosePipeline:
         prep = self._make_prep()
         model = self.model if force_fp else self._active_model()
 
-        model_dtype = getattr(model, "dtype", None)
+        from ..core.infer import cast_to_compute_dtype
 
         def run(variables, frame, center, scale):
-            x = prep(frame, center, scale)
-            if model_dtype == jnp.bfloat16:
-                # value-identical early cast (first conv casts anyway);
-                # halves normalized-crop + flip-copy traffic (round-4)
-                x = x.astype(jnp.bfloat16)
+            x = cast_to_compute_dtype(model, prep(frame, center, scale))
             B = x.shape[0]
             if flip:
                 x = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0)

@@ -116,9 +116,16 @@ def _snv2_test(cfg):
     head baked into the backbone class.  The reference never registers it
     in its MODELS dict; here it is a first-class registry name with the
     file's hardcoded hyperparameters."""
+    # The net's head is hardcoded 17*3 offset (:195-201), and validate /
+    # make_infer_fn_from_cfg read TARGET_TYPE from the CALLER's cfg — so
+    # a cfg that disagrees must fail loudly here, not decode garbage.
+    if cfg.MODEL.TARGET_TYPE != "offset":
+        raise ValueError(
+            "shufflenetv2_test is a hardcoded offset-head net "
+            "(reference backbones/shufflenetv2_test.py:195-201); set "
+            "MODEL.TARGET_TYPE: offset in the config")
     cfg = cfg.clone()
     cfg.defrost()
-    cfg.MODEL.TARGET_TYPE = "offset"        # final 17*3 (:195-201)
     cfg.MODEL.EXTRA.MODEL_SIZE = "1.0x"
     cfg.MODEL.EXTRA.START_CHANNELS = 256
     cfg.MODEL.EXTRA.ARCHITECTURE = [512, 256, 128]
