@@ -18,9 +18,10 @@ Modes accounted (the dryrun_multichip parallelisms):
   dp4sp2     batch x input-height ('model' axis: GSPMD conv halos)
   dp4tp2     batch x channel tensor parallel (parallel/mesh.py)
 
-Ring model (the scaling-book recipe): an all-reduce of N bytes over an
-a-device axis moves 2(a-1)/a * N bytes through each chip; all-gather /
-reduce-scatter move (a-1)/a * N; a collective-permute moves N.
+Ring model (the scaling-book recipe), N = operand bytes: an all-reduce
+moves 2(a-1)/a * N per chip over an a-device axis; an all-gather
+receives (a-1) * N; a reduce-scatter sends (a-1)/a * N; a
+collective-permute moves N.
 v5e ICI: 1600 Gbps per chip per direction (public v5e spec) = 200 GB/s;
 a 2x4 v5e-8 slice rings both mesh axes over ICI.
 """
@@ -45,8 +46,8 @@ _COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter",
                 "collective-permute", "all-to-all")
 # fusions/calls can't contain collectives; only scan computation bodies
 _OP_RE = re.compile(
-    r"^\s*(?:ROOT\s+)?%?[\w.\-]+\s*=\s*(\(?.*?\)?)\s*"
-    r"(" + "|".join(_COLLECTIVES) + r")(?:-start|-done)?\(")
+    r"^\s*(?:ROOT\s+)?%?[\w.\-]+\s*=\s*\(?.*?\)?\s*"
+    r"(" + "|".join(_COLLECTIVES) + r")(-start|-done)?\(([^)]*)\)")
 
 
 def _shape_bytes(shape_text: str) -> int:
@@ -76,44 +77,44 @@ def _group_size(line: str):
     return None
 
 
-def _op_bytes(shape_text: str) -> int:
-    """Tensor bytes for one op: the LARGEST shape in the result text.
+def _operand_bytes(args_text: str) -> int:
+    """Payload bytes for one collective: the sum of its OPERAND shapes.
 
-    Sync ops have one result shape.  Async ``-start`` ops return tuples
-    (operand alias, result buffer[, context scalars]); the max shape is
-    the payload for every collective kind — all-gather's gathered
-    result, reduce-scatter's pre-scatter operand, permute's buffer —
-    matching the per-kind wire factors below.
+    Operands are the one convention that is correct across every form:
+    XLA's all-reduce combiner merges many gradients into ONE op with
+    many operands (sum is right, result tuple would double nothing),
+    async ``-start`` results carry operand aliases + context scalars
+    (which would over- or under-count), and all-gather/reduce-scatter
+    have asymmetric operand/result sizes that the per-kind wire factors
+    below are defined against (N = input bytes).
     """
-    best = 0
-    for dt, dims in _SHAPE_RE.findall(shape_text):
+    total = 0
+    for dt, dims in _SHAPE_RE.findall(args_text):
         n = 1
         for d in dims.split(","):
             if d:
                 n *= int(d)
-        best = max(best, n * _DTYPE_BYTES[dt])
-    return best
+        total += n * _DTYPE_BYTES[dt]
+    return total
 
 
 def account_hlo(hlo_text: str, default_group: int = 8):
     """Collective census of one optimized HLO module.
 
     Returns {op_kind: {"count": n, "bytes": N, "by_group": {a: N_a}}}
-    where ``bytes`` sums each op's payload (largest result shape — see
-    :func:`_op_bytes`), attributed per replica-group size ``a`` so the
-    ring model can cost each op at ITS OWN axis.  ``-start``/``-done``
-    async pairs are counted once (on the -start).
+    where ``bytes`` sums each op's OPERAND payload (see
+    :func:`_operand_bytes`), attributed per replica-group size ``a`` so
+    the ring model can cost each op at ITS OWN axis.  ``-start``/
+    ``-done`` async pairs are counted once (on the -start).
     """
     out = {}
     for line in hlo_text.splitlines():
-        if "-done(" in line:
-            continue
         m = _OP_RE.match(line)
-        if not m:
+        if not m or m.group(2) == "-done":
             continue
-        shape_text, kind = m.group(1), m.group(2)
+        kind, args_text = m.group(1), m.group(3)
         a = _group_size(line) or default_group
-        n = _op_bytes(shape_text)
+        n = _operand_bytes(args_text)
         ent = out.setdefault(kind, {"count": 0, "bytes": 0,
                                     "by_group": {}})
         ent["count"] += 1
@@ -123,11 +124,16 @@ def account_hlo(hlo_text: str, default_group: int = 8):
 
 
 def _ring_factor(kind: str, a: int) -> float:
+    """Wire bytes per chip per INPUT byte N (ring algorithms):
+    all-reduce 2(a-1)/a * N; all-gather receives a-1 peer chunks of N;
+    reduce-scatter sends (a-1)/a of its input; permute moves N."""
     if a <= 1:
         return 0.0
     if kind == "all-reduce":
         return 2 * (a - 1) / a
-    if kind in ("all-gather", "reduce-scatter", "all-to-all"):
+    if kind == "all-gather":
+        return float(a - 1)
+    if kind in ("reduce-scatter", "all-to-all"):
         return (a - 1) / a
     return 1.0                                  # collective-permute
 
