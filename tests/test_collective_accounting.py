@@ -92,32 +92,34 @@ def test_wire_model_and_parser():
   %other = f32[2]{0} add(f32[2]{0} %a, f32[2]{0} %b)
 """
     census = account_hlo(hlo, default_group=8)
-    # bytes are OPERAND bytes (all-gather's input chunk, not the result)
     assert census["all-reduce"]["count"] == 2
     assert census["all-reduce"]["bytes"] == 4096 + 2048
     assert census["all-reduce"]["by_group"] == {4: 4096, 8: 2048}
-    assert census["all-gather"]["by_group"] == {2: 1 * 128 * 2}
+    # all-gather payload = the GATHERED result size
+    assert census["all-gather"]["by_group"] == {2: 8 * 128 * 2}
     assert census["collective-permute"]["bytes"] == 64
     assert "add" not in census
 
     wire = wire_bytes_per_chip(census, 8)
     # ar@4: 2*(3/4)*4096 = 6144; ar@8: 2*(7/8)*2048 = 3584;
-    # ag@2: (2-1)*256 = 256; cp: 64
-    assert wire == 6144 + 3584 + 256 + 64
+    # ag@2: (1/2)*2048 = 1024; cp: 64
+    assert wire == 6144 + 3584 + 1024 + 64
 
 
 def test_async_start_done_counted_once_with_tuple():
-    """Async pairs count once (on -start, from its OPERANDS — the
-    result tuple carries aliases/context that must not be counted),
-    and XLA's combined multi-operand all-reduce sums its operands."""
+    """Async pairs count once (-done skipped; the -start's
+    (inputs..., outputs...) tuple halves for all-reduce, and the
+    all-gather-start pair takes the gathered max), while XLA's combined
+    multi-tensor all-reduce result tuple SUMS (every element is a
+    distinct reduced gradient)."""
     hlo = """
-  %s = (f32[256]{0}, f32[256]{0}) all-reduce-start(f32[256]{0} %x), replica_groups={{0,1}}
-  %d = f32[256]{0} all-reduce-done(f32[256]{0} %s)
-  %g = (bf16[1,64]{1,0}, bf16[4,64]{1,0}) all-gather-start(bf16[1,64]{1,0} %y), replica_groups={{0,1,2,3}}
-  %c = (f32[100]{0}, f32[28]{0}) all-reduce(f32[100]{0} %p, f32[28]{0} %q), replica_groups={{0,1}}
+  %s = (f32[256]{0}, f32[256]{0}) all-reduce-start(%x), replica_groups={{0,1}}
+  %d = f32[256]{0} all-reduce-done(%s)
+  %g = (bf16[1,64]{1,0}, bf16[4,64]{1,0}) all-gather-start(%y), replica_groups={{0,1,2,3}}
+  %c = (f32[100]{0}, f32[28]{0}) all-reduce(%p, %q), replica_groups={{0,1}}
 """
     census = account_hlo(hlo)
     assert census["all-reduce"]["count"] == 2
-    # start: 1024 operand bytes; combined: (100+28)*4 = 512
+    # start: (1024+1024)/2 = 1024; combined sync: (100+28)*4 = 512
     assert census["all-reduce"]["by_group"] == {2: 1024 + 512}
-    assert census["all-gather"]["bytes"] == 1 * 64 * 2
+    assert census["all-gather"]["bytes"] == 4 * 64 * 2

@@ -18,10 +18,10 @@ Modes accounted (the dryrun_multichip parallelisms):
   dp4sp2     batch x input-height ('model' axis: GSPMD conv halos)
   dp4tp2     batch x channel tensor parallel (parallel/mesh.py)
 
-Ring model (the scaling-book recipe), N = operand bytes: an all-reduce
-moves 2(a-1)/a * N per chip over an a-device axis; an all-gather
-receives (a-1) * N; a reduce-scatter sends (a-1)/a * N; a
-collective-permute moves N.
+Ring model (the scaling-book recipe): an all-reduce of N payload bytes
+over an a-device axis moves 2(a-1)/a * N per chip; an all-gather of
+gathered size G moves (a-1)/a * G; a reduce-scatter to output O moves
+(a-1) * O; a collective-permute moves its buffer.
 v5e ICI: 1600 Gbps per chip per direction (public v5e spec) = 200 GB/s;
 a 2x4 v5e-8 slice rings both mesh axes over ICI.
 """
@@ -46,8 +46,8 @@ _COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter",
                 "collective-permute", "all-to-all")
 # fusions/calls can't contain collectives; only scan computation bodies
 _OP_RE = re.compile(
-    r"^\s*(?:ROOT\s+)?%?[\w.\-]+\s*=\s*\(?.*?\)?\s*"
-    r"(" + "|".join(_COLLECTIVES) + r")(-start|-done)?\(([^)]*)\)")
+    r"^\s*(?:ROOT\s+)?%?[\w.\-]+\s*=\s*(\(?.*?\)?)\s*"
+    r"(" + "|".join(_COLLECTIVES) + r")(-start|-done)?\(")
 
 
 def _shape_bytes(shape_text: str) -> int:
@@ -77,44 +77,60 @@ def _group_size(line: str):
     return None
 
 
-def _operand_bytes(args_text: str) -> int:
-    """Payload bytes for one collective: the sum of its OPERAND shapes.
-
-    Operands are the one convention that is correct across every form:
-    XLA's all-reduce combiner merges many gradients into ONE op with
-    many operands (sum is right, result tuple would double nothing),
-    async ``-start`` results carry operand aliases + context scalars
-    (which would over- or under-count), and all-gather/reduce-scatter
-    have asymmetric operand/result sizes that the per-kind wire factors
-    below are defined against (N = input bytes).
-    """
-    total = 0
-    for dt, dims in _SHAPE_RE.findall(args_text):
+def _shapes_in(text: str):
+    out = []
+    for dt, dims in _SHAPE_RE.findall(text):
         n = 1
         for d in dims.split(","):
             if d:
                 n *= int(d)
-        total += n * _DTYPE_BYTES[dt]
-    return total
+        out.append(n * _DTYPE_BYTES[dt])
+    return out
+
+
+def _result_payload(kind: str, is_start: bool, result_text: str) -> int:
+    """Payload bytes from an op's RESULT shape(s).
+
+    Operands print as bare ``%names`` in optimized HLO, so the result is
+    the only parseable source; its tuple structure is kind-dependent:
+    XLA's all-reduce combiner merges many gradients into one op whose
+    result tuple lists every reduced tensor (sum), an async
+    ``all-reduce-start`` result is (inputs..., outputs...) — equal
+    halves (sum/2) — and all-gather/collective-permute ``-start``
+    results pair the small input with the payload (max).
+    """
+    shapes = _shapes_in(result_text)
+    if not shapes:
+        return 0
+    if kind == "all-reduce":
+        total = sum(shapes)
+        return total // 2 if is_start else total
+    if kind in ("all-gather", "collective-permute"):
+        return max(shapes)          # gathered size / permuted buffer
+    if kind == "reduce-scatter":
+        # sync result = scattered output (tuple-combined: sum); -start
+        # pairs the big input with the small output: the output is min
+        return min(shapes) if is_start else sum(shapes)
+    return max(shapes)              # all-to-all
 
 
 def account_hlo(hlo_text: str, default_group: int = 8):
     """Collective census of one optimized HLO module.
 
     Returns {op_kind: {"count": n, "bytes": N, "by_group": {a: N_a}}}
-    where ``bytes`` sums each op's OPERAND payload (see
-    :func:`_operand_bytes`), attributed per replica-group size ``a`` so
+    where ``bytes`` is each op's payload from its result shape(s) (see
+    :func:`_result_payload`), attributed per replica-group size ``a`` so
     the ring model can cost each op at ITS OWN axis.  ``-start``/
     ``-done`` async pairs are counted once (on the -start).
     """
     out = {}
     for line in hlo_text.splitlines():
         m = _OP_RE.match(line)
-        if not m or m.group(2) == "-done":
+        if not m or m.group(3) == "-done":
             continue
-        kind, args_text = m.group(1), m.group(3)
+        result_text, kind = m.group(1), m.group(2)
         a = _group_size(line) or default_group
-        n = _operand_bytes(args_text)
+        n = _result_payload(kind, m.group(3) == "-start", result_text)
         ent = out.setdefault(kind, {"count": 0, "bytes": 0,
                                     "by_group": {}})
         ent["count"] += 1
@@ -124,17 +140,18 @@ def account_hlo(hlo_text: str, default_group: int = 8):
 
 
 def _ring_factor(kind: str, a: int) -> float:
-    """Wire bytes per chip per INPUT byte N (ring algorithms):
-    all-reduce 2(a-1)/a * N; all-gather receives a-1 peer chunks of N;
-    reduce-scatter sends (a-1)/a of its input; permute moves N."""
+    """Wire bytes per chip per payload byte N (ring algorithms), with
+    N as :func:`_result_payload` defines it: all-reduce 2(a-1)/a * N
+    (N = reduced tensors); all-gather (a-1)/a * N (N = gathered size);
+    reduce-scatter (a-1) * N (N = scattered output); permute N."""
     if a <= 1:
         return 0.0
     if kind == "all-reduce":
         return 2 * (a - 1) / a
-    if kind == "all-gather":
-        return float(a - 1)
-    if kind in ("reduce-scatter", "all-to-all"):
+    if kind in ("all-gather", "all-to-all"):
         return (a - 1) / a
+    if kind == "reduce-scatter":
+        return float(a - 1)
     return 1.0                                  # collective-permute
 
 
