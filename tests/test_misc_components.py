@@ -317,3 +317,44 @@ def test_profile_input_runs():
     assert "device-aug host residue" in out
     assert "RSN host pipeline" in out
     assert "worker cores needed" in out
+
+
+def test_bench_host_variables_shapes_and_stats():
+    """bench._host_variables must produce a tree shape-identical to the
+    real init with BN statistics at their init values (var/scale=1,
+    mean/bias=0) — the zero-compile init the bench sections rely on."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import bench
+    from udp_pose_tpu.config import default_config
+    from udp_pose_tpu.models import build_model
+
+    cfg = default_config()
+    cfg.MODEL.NAME = "pose_resnet"
+    cfg.MODEL.EXTRA.merge_from_dict({
+        "NUM_LAYERS": 18, "NUM_DECONV_LAYERS": 3,
+        "NUM_DECONV_FILTERS": [64, 64, 64],
+        "NUM_DECONV_KERNELS": [4, 4, 4],
+        "DECONV_WITH_BIAS": False, "FINAL_CONV_KERNEL": 1})
+    model = build_model(cfg)
+    host = bench._host_variables(jax, jnp, model, (1, 64, 64, 3))
+    ref = jax.eval_shape(lambda r: model.init(
+        r, jnp.zeros((1, 64, 64, 3), jnp.float32), train=False),
+        jax.random.PRNGKey(0))
+    assert (jax.tree_util.tree_structure(host)
+            == jax.tree_util.tree_structure(ref))
+    for (path, leaf), (_, spec) in zip(
+            jax.tree_util.tree_leaves_with_path(host),
+            jax.tree_util.tree_leaves_with_path(ref)):
+        assert leaf.shape == spec.shape and leaf.dtype == spec.dtype
+    bs = host["batch_stats"]
+    some_var = jax.tree_util.tree_leaves(
+        {k: v for k, v in bs.items()})[0]
+    # spot-check the BN convention via one module's stats
+    flat = jax.tree_util.tree_leaves_with_path(bs)
+    vars_ = [l for p, l in flat if p[-1].key == "var"]
+    means = [l for p, l in flat if p[-1].key == "mean"]
+    assert vars_ and all(np.all(v == 1.0) for v in vars_)
+    assert means and all(np.all(m == 0.0) for m in means)
