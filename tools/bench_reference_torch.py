@@ -41,6 +41,18 @@ def main():
 
     import torch
 
+    # torchvision is absent in this image; the reference's models package
+    # imports it transitively (backbones/mobilenetv3.py:2) even though
+    # pose_hrnet never uses it — stub just enough to import.
+    import types
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.__path__ = []
+        tvm = types.ModuleType("torchvision.models")
+        tv.models = tvm
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tvm
+
     from ref_harness import DEEP_HRNET, claim_namespace, RSN_ROOT
     claim_namespace([DEEP_HRNET, os.path.join(DEEP_HRNET, "lib")],
                     [RSN_ROOT])
@@ -79,8 +91,8 @@ def main():
         # function.py:158-171: numpy flip_back + average
         flipped = ref_tr.flip_back_offset(flipped, flip_pairs)
         hm = (out + flipped) * 0.5
-        preds, maxvals = ref_inf.get_final_preds(cfg, hm.copy(), center,
-                                                 scale)
+        preds, _maxvals, _in_space = ref_inf.get_final_preds(
+            cfg, hm.copy(), center, scale)
         return preds
 
     one_batch()                                    # warm caches
