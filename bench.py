@@ -23,7 +23,7 @@ host-CPU floor and the A100 fp32 roofline ceiling bracketing it.
 
 Prints ONE JSON line on stdout; diagnostics go to stderr.  Exit is rc=0
 whenever the process finalizes itself: sections that do not fit the
-time budget (``BENCH_BUDGET_S``, default 1200 s) are skipped in reverse
+time budget (``BENCH_BUDGET_S``, default 1380 s) are skipped in reverse
 value order and listed in ``sections_skipped``.
 """
 
@@ -89,7 +89,7 @@ def _run(result):
     log(f"device: {dev}")
 
     t0 = time.perf_counter()
-    budget = int(os.environ.get("BENCH_BUDGET_S", 1200))
+    budget = int(os.environ.get("BENCH_BUDGET_S", 1380))
 
     def remaining():
         return budget - (time.perf_counter() - t0)
