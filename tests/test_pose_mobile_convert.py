@@ -198,3 +198,13 @@ def test_shufflenetv2_test_parity():
                                  train=False)).transpose(0, 3, 1, 2)
     assert yt.shape == yf.shape == (2, 51, 64, 48), (yt.shape, yf.shape)
     np.testing.assert_allclose(yf, yt, rtol=1e-3, atol=2e-3)
+
+
+def test_shufflenetv2_test_rejects_gaussian_cfg():
+    """The registry entry must fail loudly when the caller's cfg says
+    gaussian — the caller's TARGET_TYPE drives the decode path, and the
+    net's head is hardcoded 17*3 offset (code-review round-4 fix)."""
+    from udp_pose_tpu.models import build_model
+    cfg = _pose_cfg("shufflenetv2_test")      # default gaussian
+    with pytest.raises(ValueError, match="offset"):
+        build_model(cfg)
