@@ -316,18 +316,14 @@ def _shufflenet_cfg():
     return _zoo_cfg("shufflenetv2_plus_small_256x192.yaml")
 
 
-def bench_family(jax, jnp, cfg, batch, iters=(6, 18), flip=True,
-                 quantize=False, prepare=True, flip_mode="fold",
-                 cache=None):
-    """Full inference pipeline (flip test + decode) crops/s for one
-    config, same differencing method as the headline.  ``flip=False``
-    is the serving protocol (no flip-test fold) — the raw-throughput
-    shape most deployments run.  ``quantize`` amax-calibrates on one
-    batch and serves w8a8 int8 (models/quantize.py); ``prepare=False``
-    keeps the per-forward in-graph weight requant (A/B knob for
-    tools/profile_int8.py).  ``flip_mode``: the w32-class sections pass
-    two_pass (two B-sized forwards, +4-6% at B=128 — round-4 phase
-    study); w48 keeps fold (two_pass measured 2.6x slower at B=48)."""
+def family_setup(jax, jnp, cfg, batch, flip=True, quantize=False,
+                 prepare=True, flip_mode="fold", cache=None):
+    """Build the EXACT graph a family section times: returns
+    ``(infer, variables, (images, center, scale))`` with inputs already
+    device_put.  Shared by :func:`bench_family` (which times it) and
+    tools/profile_roofline.py (which lowers the same jit fn to account
+    its optimized HLO — the attribution is only honest if the lowered
+    graph IS the benched graph)."""
     from udp_pose_tpu.core.infer import make_infer_fn
     from udp_pose_tpu.models import build_model
 
@@ -380,6 +376,25 @@ def bench_family(jax, jnp, cfg, batch, iters=(6, 18), flip=True,
         np.array([[128.0, 128.0]], np.float32), (batch, 1)))
     scale = jax.device_put(np.tile(
         np.array([[0.96, 1.28]], np.float32), (batch, 1)))
+    return infer, variables, (images, center, scale)
+
+
+def bench_family(jax, jnp, cfg, batch, iters=(6, 18), flip=True,
+                 quantize=False, prepare=True, flip_mode="fold",
+                 cache=None):
+    """Full inference pipeline (flip test + decode) crops/s for one
+    config, same differencing method as the headline.  ``flip=False``
+    is the serving protocol (no flip-test fold) — the raw-throughput
+    shape most deployments run.  ``quantize`` amax-calibrates on one
+    batch and serves w8a8 int8 (models/quantize.py); ``prepare=False``
+    keeps the per-forward in-graph weight requant (A/B knob for
+    tools/profile_int8.py).  ``flip_mode``: the w32-class sections pass
+    two_pass (two B-sized forwards, +4-6% at B=128 — round-4 phase
+    study); w48 keeps fold (two_pass measured 2.6x slower at B=48)."""
+    infer, variables, (images, center, scale) = family_setup(
+        jax, jnp, cfg, batch, flip=flip, quantize=quantize,
+        prepare=prepare, flip_mode=flip_mode, cache=cache)
+    w, h = cfg.MODEL.IMAGE_SIZE
     checksum = jax.jit(lambda p: jnp.sum(p))
 
     def timed(n):

@@ -72,6 +72,11 @@ def main():
     except Exception:
         logger.info("tensorboardX unavailable; skipping TB logging")
 
+    if cfg.DATASET.DEVICE_AUG and cfg.MODEL.NAME == "rsn":
+        raise ValueError("DATASET.DEVICE_AUG covers the deep_hrnet "
+                         "pipeline (gaussian/offset targets); the RSN "
+                         "multi-kernel label pyramid still builds on "
+                         "the host — unset DEVICE_AUG for rsn")
     model = build_model(cfg)
     if cfg.TPU.QAT == "int8" and cfg.TPU.PP:
         # the PP path builds its own stem/stage modules
@@ -93,6 +98,23 @@ def main():
         raise ValueError(f"unknown TPU.QAT mode {cfg.TPU.QAT!r}")
     train_ds = build_dataset(cfg, is_train=True)
     val_ds = build_dataset(cfg, is_train=False)
+
+    device_augment, train_iter_ds = None, train_ds
+    if cfg.DATASET.DEVICE_AUG:
+        # on-device augmentation (data/device_pipeline.py): host workers
+        # only decode onto a fixed canvas; warp/aug/AID/target encoding
+        # run inside the jit graph keyed by (epoch, step) — replaces the
+        # per-sample cv2 pipeline of JointsDataset.py:172-256
+        from udp_pose_tpu.data.device_pipeline import (RawSampleView,
+                                                       make_device_augment)
+        canvas_w, canvas_h = cfg.DATASET.DEVICE_AUG_CANVAS
+        canvas_hw = (int(canvas_h), int(canvas_w))
+        device_augment = make_device_augment(
+            cfg, train_ds.num_joints, train_ds.flip_pairs,
+            train_ds.upper_body_ids, canvas_hw)
+        train_iter_ds = RawSampleView(train_ds, canvas_hw)
+        logger.info(f"=> on-device augmentation (canvas {canvas_hw}, "
+                    "host residue = decode+pad)")
 
     mesh = make_mesh(cfg.TPU.MESH.DATA, cfg.TPU.MESH.MODEL)
     n_dev = mesh.shape["data"]
@@ -272,7 +294,7 @@ def main():
         elif cfg.WORKERS > 0 and not skip_batches:
             try:
                 from udp_pose_tpu.data.grain_loader import grain_loader
-                return grain_loader(train_ds, local_batch, seed=epoch,
+                return grain_loader(train_iter_ds, local_batch, seed=epoch,
                                     shuffle=cfg.TRAIN.SHUFFLE,
                                     num_workers=cfg.WORKERS,
                                     shard_index=shard_index,
@@ -280,8 +302,8 @@ def main():
             except ImportError as e:
                 logger.warning(f"grain loader unavailable ({e}); "
                                "falling back to in-process loader")
-        train_ds.seed(epoch)
-        return epoch_loader(train_ds, local_batch,
+        train_iter_ds.seed(epoch)
+        return epoch_loader(train_iter_ds, local_batch,
                             shuffle=cfg.TRAIN.SHUFFLE, seed=epoch,
                             shard_index=shard_index, num_shards=num_shards,
                             group_ids=_epoch_group_ids(),
@@ -424,6 +446,19 @@ def main():
                     "labels": batch["labels"],
                     "valid": batch["valid"],
                 })
+            elif device_augment is not None:
+                raw = shard_batch(mesh, {
+                    k: batch[k] for k in ("canvas", "joints", "joints_vis",
+                                          "center", "scale", "width")})
+                # keyed by (epoch, step): deterministic, resume-stable
+                key = jax.random.fold_in(
+                    jax.random.fold_in(jax.random.PRNGKey(1234), epoch), i)
+                images, dev_target, dev_weight = device_augment(key, raw)
+                device_batch = {
+                    "image": normalize_images(images),
+                    "target": dev_target,
+                    "target_weight": dev_weight,
+                }
             else:
                 device_batch = shard_batch(mesh, {
                     "image": batch["image"],      # uint8: 1/4 the transfer
@@ -454,13 +489,16 @@ def main():
                     hm = fetch_local_batch_rows(metrics["output"],
                                                 num_shards)
                     if hm is not None:
-                        tgt = batch["target"]
+                        tgt = (np.asarray(jax.device_get(dev_target))
+                               if device_augment is not None
+                               else batch["target"])
                         if cfg.MODEL.TARGET_TYPE == "offset":
                             hm, tgt = hm[:, ::3], tgt[:, ::3]
                         _, avg_acc, cnt, pred = pck_accuracy(hm, tgt)
                         acc_meter.update(avg_acc, cnt)
-                speed = batch["image"].shape[0] / max(time.time() - t_end,
-                                                      1e-9)
+                speed = batch[
+                    "canvas" if device_augment is not None else "image"
+                ].shape[0] / max(time.time() - t_end, 1e-9)
                 logger.info(
                     f"Epoch [{epoch}][{i}/{steps_per_epoch}] "
                     f"Speed {speed:.1f}/s Loss {loss * 1e5:.1f}e-5 "
@@ -470,7 +508,7 @@ def main():
                     writer.add_scalar("train_loss", loss, global_step)
                     writer.add_scalar("train_acc", acc_meter.val, global_step)
                 if cfg.DEBUG.DEBUG and not is_rsn and is_main \
-                        and hm is not None:
+                        and device_augment is None and hm is not None:
                     from udp_pose_tpu.utils.vis import save_debug_images
                     prefix = os.path.join(final_output_dir,
                                           f"train_{epoch}_{i}")

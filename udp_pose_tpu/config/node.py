@@ -209,6 +209,12 @@ def default_config() -> Node:
     # ASPECT_RATIO_GROUPING, off by default in the reference too)
     c.DATASET.ASPECT_RATIO_GROUPING = False
     c.DATASET.USE_API = False
+    # On-device augmentation (data/device_pipeline.py): host workers only
+    # decode onto a fixed canvas; warp/aug/AID/targets run inside the jit
+    # graph.  CANVAS is (W, H) — images larger than it are clipped, so it
+    # must cover the dataset's max dims (COCO: 640x640).
+    c.DATASET.DEVICE_AUG = False
+    c.DATASET.DEVICE_AUG_CANVAS = [640, 640]
 
     c.TRAIN = Node()
     c.TRAIN.LR_FACTOR = 0.1

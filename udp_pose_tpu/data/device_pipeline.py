@@ -41,6 +41,51 @@ def pad_to_canvas(img, canvas_hw):
     return out, (img.shape[0], img.shape[1])
 
 
+class RawSampleView:
+    """Dataset adapter for the device-aug path (``DATASET.DEVICE_AUG``).
+
+    ``__getitem__`` returns the RAW decoded image on a fixed canvas plus
+    geometry — no warp, no aug, no targets: the host residue of the
+    SURVEY §7 design (reference does all of it per-sample on the host,
+    JointsDataset.py:172-256).  Aug randomness moves to the device key
+    in :func:`make_device_augment`, so the loader's epoch-seeded batch
+    PLAN is unchanged and mid-epoch resume needs no host-rng replay.
+    Implements the loader protocol (``__len__``/``seed``/``db``) by
+    delegation, so ``epoch_loader``/``grain_loader`` work unchanged.
+    """
+
+    def __init__(self, dataset, canvas_hw):
+        self.dataset = dataset
+        self.canvas_hw = (int(canvas_hw[0]), int(canvas_hw[1]))
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def seed(self, s):
+        self.dataset.seed(s)
+
+    @property
+    def db(self):
+        return self.dataset.db
+
+    def __getitem__(self, idx):
+        ds = self.dataset
+        rec = ds.db[idx]
+        img = ds._read_image(rec["image"])
+        canvas, (_h, w) = pad_to_canvas(img, self.canvas_hw)
+        vis = np.asarray(rec["joints_3d_vis"], np.float32)
+        if vis.ndim == 2:
+            vis = vis[:, 0]
+        return {
+            "canvas": canvas,
+            "joints": np.asarray(rec["joints_3d"], np.float32)[:, :2],
+            "joints_vis": vis,
+            "center": np.asarray(rec["center"], np.float32),
+            "scale": np.asarray(rec["scale"], np.float32),
+            "width": np.float32(w),
+        }
+
+
 def _sample_aug_params(key, center, scale, joints, joints_vis, *,
                        scale_factor, rotation_factor, prob_half_body,
                        num_joints_half_body, upper_mask, aspect_ratio,

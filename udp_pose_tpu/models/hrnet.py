@@ -17,7 +17,7 @@ from typing import Any, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import BasicBlock, Bottleneck, ConvBN, upsample_nearest
+from .layers import BasicBlock, Bottleneck, ConvBN, add_upsampled
 from .psa import PSA_s
 
 BLOCKS = {"BASIC": BasicBlock, "BOTTLENECK": Bottleneck}
@@ -70,7 +70,13 @@ class HRModule(nn.Module):
                                      momentum=0.9, epsilon=1e-5,
                                      dtype=self.dtype,
                                      name=f"fuse{i}_{j}_bn")(y)
-                    y = upsample_nearest(y, 2 ** (j - i))
+                    # acc is never None here: j > i >= 0, so the j==i (or
+                    # j<i) branch already seeded it.  add_upsampled fuses
+                    # the nearest-upsample into the add (bit-identical;
+                    # see layers.py — the materialized repeat was the
+                    # top non-conv cost on the serving graph).
+                    acc = add_upsampled(acc, y, 2 ** (j - i))
+                    continue
                 elif j == i:
                     if not self.multi_scale_output:
                         # bias-free 1×1 C→4C, no BN (pose_hrnet.py:212-219)

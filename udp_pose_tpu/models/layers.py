@@ -107,6 +107,30 @@ def upsample_nearest(x, factor: int):
     return x
 
 
+def add_upsampled(acc, y, factor: int):
+    """``acc + upsample_nearest(y, factor)`` without materializing the
+    upsampled tensor.
+
+    The HRNet fuse-add is the hot consumer (hrnet.py): XLA materializes
+    ``jnp.repeat``'s broadcast as a standalone full-resolution HBM write
+    (measured on the w32 int8 serving graph: the three last-module
+    ×4-channel fuse upsamples are 100-126 MB broadcasts running at
+    24-30% of their own HBM roofline — tools/profile_roofline.py,
+    DESIGN.md round-5).  Viewing ``acc`` in (factor x factor) blocks is
+    a free row-major bitcast, so the add fusion reads the LOW-res
+    tensor + acc and writes the sum: ~3x less traffic than
+    materialize-then-add.  Elementwise math is bit-identical to
+    ``upsample_nearest(y, factor) + acc`` (same pairs, same order).
+    """
+    if factor == 1:
+        return acc + y
+    B, H, W, C = acc.shape
+    _, h, w, _ = y.shape
+    xb = acc.reshape(B, h, factor, w, factor, C)
+    out = xb + y[:, :, None, :, None, :]
+    return out.reshape(B, H, W, C)
+
+
 class DeconvHead(nn.Module):
     """SimpleBaseline head: N × (ConvTranspose s2 + BN + ReLU)
     (pose_resnet.py:168-193; kernel/pad table :156-166)."""
