@@ -117,6 +117,13 @@ def _run(result):
                            flip_mode="two_pass", cache=fam_cache)
     result.update({
         "value": round(cps, 1),
+        # explicit per-protocol aliases of the headline so no consumer
+        # has to infer which precision ``value`` carries (advisor r4:
+        # the r3->r4 headline promotion changed value's meaning; since
+        # r4 ``value`` is pinned to the int8 protocol and these keys
+        # disambiguate any historical comparison)
+        ("value_int8" if headline_protocol == "int8" else
+         "value_bf16"): round(cps, 1),
         "vs_baseline": round(cps / A100_EST_CROPS_PER_SEC, 3),
         "batch": 128,
         "headline_protocol": headline_protocol,
@@ -142,9 +149,11 @@ def _run(result):
             result["crops_per_sec_w32_256x192_fliptest_bf16"] = result[
                 "value"]
             return
-        result["crops_per_sec_w32_256x192_fliptest_bf16"] = round(
-            bench_family(jax, jnp, _headline_cfg(), 128, flip=True,
-                         flip_mode="two_pass", cache=fam_cache), 1)
+        bf16 = round(bench_family(jax, jnp, _headline_cfg(), 128,
+                                  flip=True, flip_mode="two_pass",
+                                  cache=fam_cache), 1)
+        result["crops_per_sec_w32_256x192_fliptest_bf16"] = bf16
+        result["value_bf16"] = bf16
 
     def sec_train():
         sps, tfs = bench_train(jax, jnp)
@@ -154,6 +163,10 @@ def _run(result):
     def sec_rsn_train():
         result["train_samples_per_sec_rsn18"] = round(
             bench_rsn_train(jax, jnp), 1)
+
+    def sec_rsn50_train():
+        result["train_samples_per_sec_rsn50"] = round(
+            bench_rsn_train(jax, jnp, batch=64, cfg_fn=_rsn50_cfg), 1)
 
     def family_sec(label, builder, batch, flip, quantize=False,
                    flip_mode="fold"):
@@ -204,6 +217,9 @@ def _run(result):
         ("w48 int8", 160,
          family_sec("crops_per_sec_w48_384x288_int8", _w48_cfg, 48, True,
                     True)),
+        # depth point for the RSN-50 configs (VERDICT r4 item 3); last =
+        # first skipped on slow relays
+        ("rsn50 train", 160, sec_rsn50_train),
     ]
     # Adaptive budgeting: the relay's compile speed varies run to run
     # (observed 200 -> 650 s for the same train section across days), so
@@ -222,12 +238,19 @@ def _run(result):
             continue
         mark(name)
         sec_t0 = time.perf_counter()
+        ok = True
         try:
             fn()
         except Exception as e:      # secondary metric must not kill the run
+            ok = False
             log(f"{name} failed: {e!r}")
-        est_done += est
-        act_done += time.perf_counter() - sec_t0
+        if ok:
+            # only completed sections inform the time-scaling ratio: a
+            # crash's near-zero wall time against its full estimate would
+            # deflate the ratio and let tail sections start without
+            # budget (advisor r4 finding)
+            est_done += est
+            act_done += time.perf_counter() - sec_t0
     if skipped:
         result["sections_skipped"] = skipped
     mark("done")
@@ -311,6 +334,11 @@ def _rsn18_cfg():
     return _zoo_cfg("rsn18_256x192.yaml")
 
 
+def _rsn50_cfg():
+    """RSN-50 256×192, 6.4 GFLOPs (RSN/README.md:29 — LAYERS [3,4,6,3])."""
+    return _zoo_cfg("rsn50_256x192.yaml")
+
+
 def _shufflenet_cfg():
     """Mobile-zoo point: ShuffleNetV2+ Small 256×192."""
     return _zoo_cfg("shufflenetv2_plus_small_256x192.yaml")
@@ -346,10 +374,15 @@ def family_setup(jax, jnp, cfg, batch, flip=True, quantize=False,
         if cache is not None and qkey in cache:
             model, variables = cache[qkey]
         else:
+            from udp_pose_tpu.core.infer import cast_to_compute_dtype
             normalize_images = serving_normalizer(cfg)
             cal = np.random.default_rng(4).integers(
                 0, 256, (32, h, w, 3)).astype(np.uint8)
-            scales = calibrate(model, variables, [normalize_images(cal)])
+            # calibrate on the SAME input distribution serving feeds the
+            # stem conv — incl. the early bf16 cast (advisor r4: fp32
+            # calibration vs bf16 serving skews the stem's amax)
+            scales = calibrate(model, variables, [cast_to_compute_dtype(
+                model, normalize_images(cal))])
             model = QuantizedModel(model, scales)
             if prepare:
                 variables = model.prepare_variables(variables)
@@ -528,15 +561,17 @@ def bench_train(jax, jnp, batch=128):
     return sps, tflops
 
 
-def bench_rsn_train(jax, jnp, batch=128):
-    """RSN18 train-step samples/s (fwd+bwd+adam, 5-kernel label pyramid,
-    OHKM loss — the reference's RSN/exps/RSN18.coco/train.py workload).
-    B=128 is the measured knee (tools/profile_rsn_train.py batch scan)."""
+def bench_rsn_train(jax, jnp, batch=128, cfg_fn=None):
+    """RSN-family train-step samples/s (fwd+bwd+adam, 5-kernel label
+    pyramid, OHKM loss — the reference's RSN/exps/*/train.py workload).
+    Default RSN18 at its measured B=128 knee
+    (tools/profile_rsn_train.py batch scan); ``cfg_fn`` picks another
+    family member (e.g. _rsn50_cfg)."""
     from udp_pose_tpu.core.rsn import make_rsn_optimizer, make_rsn_train_step
     from udp_pose_tpu.core.train import TrainState
     from udp_pose_tpu.models import build_model
 
-    cfg = _rsn18_cfg()
+    cfg = (cfg_fn or _rsn18_cfg)()
     model = build_model(cfg)
     tx = make_rsn_optimizer(cfg.TRAIN.LR, cfg.TRAIN.WD, 96000)
     state = _host_train_state(
@@ -570,8 +605,9 @@ def bench_rsn_train(jax, jnp, batch=128):
         dt = (time.perf_counter() - t0) / 6
         best = dt if best is None else min(best, dt)
     sps = batch / best
-    log(f"rsn18 train step B={batch}: {sps:.1f} samples/s "
-        f"({best * 1e3:.2f} ms)")
+    layers = tuple(cfg.MODEL.EXTRA.get("LAYERS", (2, 2, 2, 2)))
+    log(f"rsn{'50' if layers == (3, 4, 6, 3) else '18'} train step "
+        f"B={batch}: {sps:.1f} samples/s ({best * 1e3:.2f} ms)")
     return sps
 
 

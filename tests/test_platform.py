@@ -43,16 +43,20 @@ def test_env_and_arg_enable(tmp_path, monkeypatch):
     from udp_pose_tpu.utils.platform import maybe_enable_compilation_cache
     snap = _snapshot_cache_config()
     try:
+        from udp_pose_tpu.utils.platform import host_cache_fingerprint
+        host_sub = "host-" + host_cache_fingerprint()
         env_dir = tmp_path / "env_cache"
         monkeypatch.setenv("UDP_POSE_COMPILATION_CACHE", str(env_dir))
-        assert maybe_enable_compilation_cache("") == str(env_dir)
-        assert env_dir.is_dir()
+        assert maybe_enable_compilation_cache("") == \
+            str(env_dir / host_sub)
+        assert (env_dir / host_sub).is_dir()
 
         # the explicit config value (TPU.COMPILATION_CACHE) wins over env
         cfg_dir = tmp_path / "cfg_cache"
-        assert maybe_enable_compilation_cache(str(cfg_dir)) == str(cfg_dir)
+        assert maybe_enable_compilation_cache(str(cfg_dir)) == \
+            str(cfg_dir / host_sub)
         assert getattr(jax.config, "jax_compilation_cache_dir") == \
-            str(cfg_dir)
+            str(cfg_dir / host_sub)
     finally:
         _restore_cache_config(snap)
 
@@ -99,3 +103,39 @@ def test_refused_on_axon_relay(tmp_path, monkeypatch, capsys):
     finally:
         jax.config.update("jax_platforms", plat_snap)
         _restore_cache_config(snap)
+
+
+def test_host_cache_fingerprint_keying():
+    """VERDICT r4 item 8: the warm-cache key must include host machine
+    features so an XLA:CPU AOT executable never loads on a host with
+    different flags (the dryrun's SIGILL-warning tail)."""
+    from udp_pose_tpu.utils.platform import host_cache_fingerprint
+
+    a = host_cache_fingerprint("flags\t\t: sse2 avx avx2 fma\n",
+                               versions=("0.9.0", "0.9.0"))
+    a2 = host_cache_fingerprint("flags\t\t: avx2 fma sse2 avx\n",
+                                versions=("0.9.0", "0.9.0"))
+    b = host_cache_fingerprint("flags\t\t: sse2 avx\n",
+                               versions=("0.9.0", "0.9.0"))
+    c = host_cache_fingerprint("flags\t\t: sse2 avx avx2 fma\n",
+                               versions=("0.9.1", "0.9.0"))
+    assert a == a2                      # flag ORDER is not a new host
+    assert len(a) == 12 and a != b and a != c
+    # the live path (real /proc/cpuinfo + jax versions) is stable
+    assert host_cache_fingerprint() == host_cache_fingerprint()
+
+
+def test_compilation_cache_dir_is_host_scoped(tmp_path):
+    """maybe_enable_compilation_cache scopes the directory by the host
+    fingerprint (a host change invalidates instead of risking SIGILL)."""
+    import jax
+
+    from udp_pose_tpu.utils.platform import (host_cache_fingerprint,
+                                             maybe_enable_compilation_cache)
+
+    d = maybe_enable_compilation_cache(str(tmp_path / "cache"))
+    try:
+        assert d.endswith("host-" + host_cache_fingerprint())
+        assert os.path.isdir(d)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)

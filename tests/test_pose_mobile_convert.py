@@ -208,3 +208,15 @@ def test_shufflenetv2_test_rejects_gaussian_cfg():
     cfg = _pose_cfg("shufflenetv2_test")      # default gaussian
     with pytest.raises(ValueError, match="offset"):
         build_model(cfg)
+
+
+def test_shufflenetv2_test_rejects_non17_joints():
+    """...and when NUM_JOINTS != 17 (e.g. an MPII cfg): the head is
+    hardcoded 17*3 (backbones/shufflenetv2_test.py:195-201), so any
+    other joint count would silently build a non-reference head under
+    the parity registry name (advisor round-4 finding)."""
+    from udp_pose_tpu.models import build_model
+    cfg = _pose_cfg("shufflenetv2_test", target_type="offset")
+    cfg.MODEL.NUM_JOINTS = 16
+    with pytest.raises(ValueError, match="17"):
+        build_model(cfg)

@@ -36,15 +36,72 @@ STYLES = {
 }
 
 
+def expanded_overlap(gt_bbox, dt_bbox):
+    """The reference's double-box overlap ratio (visualization/
+    plot_coco.py:190-210): each xywh box is expanded to 3x its extent
+    around itself, overlap = (joint-overlap span product) / (joint-total
+    span product).  Negative spans are NOT clamped — the arithmetic is
+    reproduced exactly, quirk included."""
+    x0 = gt_bbox[0] - gt_bbox[2]
+    x1 = gt_bbox[0] + gt_bbox[2] * 2
+    y0 = gt_bbox[1] - gt_bbox[3]
+    y1 = gt_bbox[1] + gt_bbox[3] * 2
+    dt_x0 = dt_bbox[0] - dt_bbox[2]
+    dt_x1 = dt_bbox[0] + dt_bbox[2] * 2
+    dt_y0 = dt_bbox[1] - dt_bbox[3]
+    dt_y1 = dt_bbox[1] + dt_bbox[3] * 2
+    ol_x = min(x1, dt_x1) - max(x0, dt_x0)
+    ol_y = min(y1, dt_y1) - max(y0, dt_y0)
+    s_x = max(x1, dt_x1) - min(x0, dt_x0)
+    s_y = max(y1, dt_y1) - min(y0, dt_y0)
+    return (ol_x * ol_y) / (s_x * s_y + np.spacing(1))
+
+
+def matched_pairs(gts, dts, threshold=0.3, max_dets=20, iou_min=0.1):
+    """Reference matched-rendering selection for ONE image
+    (plot_coco.py:157-212): dts sorted by -score (mergesort, stable) and
+    capped at maxDets; nothing drawn unless the image has BOTH gts and
+    dts; every (gt, dt) pair with expanded-overlap >= 0.1 and
+    dt score >= threshold is selected — a dt near two gts renders twice,
+    exactly like the reference's nested loop."""
+    inds = np.argsort([-d["score"] for d in dts], kind="mergesort")
+    dts = [dts[i] for i in inds][:max_dets]
+    if not gts or not dts:
+        return []
+    pairs = []
+    for gt in gts:
+        for dt in dts:
+            iou = expanded_overlap(gt["bbox"], dt["bbox"])
+            if iou < iou_min or dt["score"] < threshold:
+                continue
+            pairs.append((gt, dt))
+    return pairs
+
+
 def plot(results_file, image_dir, save_dir, style="chunhua",
-         score_thre=0.3, vis_thre=0.2):
+         score_thre=0.3, vis_thre=0.2, match_gt=None, joint_thres=0.2):
+    """``match_gt`` (a COCO gt json) switches to the reference's
+    matched-rendering protocol (plot_coco.py:141-263): only detections
+    paired to a ground-truth box by :func:`matched_pairs` draw, links/
+    rings gate on dt confidence >= ``joint_thres`` AND the matched gt's
+    per-joint visibility — including the reference's quirk that the ring
+    loop tests ``vg`` at the LAST link pair's endpoints (:246-248), not
+    the ring joint."""
     import cv2
     with open(results_file) as f:
         results = json.load(f)
     by_image = defaultdict(list)
     for r in results:
-        if r["score"] >= score_thre:
+        if match_gt is not None or r["score"] >= score_thre:
             by_image[r["image_id"]].append(r)
+    gts_by_image = None
+    if match_gt is not None:
+        with open(match_gt) as f:
+            gt = json.load(f)
+        gts_by_image = defaultdict(list)
+        for a in gt["annotations"]:
+            if not a.get("iscrowd", 0):
+                gts_by_image[a["image_id"]].append(a)
     colors = STYLES[style]
     os.makedirs(save_dir, exist_ok=True)
     n = 0
@@ -53,18 +110,46 @@ def plot(results_file, image_dir, save_dir, style="chunhua",
         img = cv2.imread(path)
         if img is None:
             continue
-        for det in dets:
+        if gts_by_image is None:
+            draw_list = [(None, det) for det in dets]
+        else:
+            draw_list = matched_pairs(gts_by_image.get(image_id, []),
+                                      dets, threshold=score_thre)
+            if not draw_list:
+                continue
+        h, w = img.shape[:2]
+        for gt_ann, det in draw_list:
             kp = np.asarray(det["keypoints"]).reshape(-1, 3)
+            vg = (np.asarray(gt_ann["keypoints"])[2::3]
+                  if gt_ann is not None else None)
+            last_pair = SKELETON[-1]
             for li, (a, b) in enumerate(SKELETON):
                 pa, pb = kp[a - 1], kp[b - 1]
-                if pa[2] > vis_thre and pb[2] > vis_thre:
-                    cv2.line(img, (int(pa[0]), int(pa[1])),
-                             (int(pb[0]), int(pb[1])),
-                             colors[li % len(colors)], 2, cv2.LINE_AA)
-            for p in kp:
-                if p[2] > vis_thre:
-                    cv2.circle(img, (int(p[0]), int(p[1])), 2,
-                               (255, 255, 255), -1, cv2.LINE_AA)
+                if gt_ann is not None:
+                    last_pair = (a, b)
+                    if (pa[2] < joint_thres or pb[2] < joint_thres
+                            or vg[a - 1] == 0 or vg[b - 1] == 0):
+                        continue
+                elif not (pa[2] > vis_thre and pb[2] > vis_thre):
+                    continue
+                cv2.line(img, (int(pa[0]), int(pa[1])),
+                         (int(pb[0]), int(pb[1])),
+                         colors[li % len(colors)], 2, cv2.LINE_AA)
+            for ki, p in enumerate(kp):
+                if gt_ann is not None:
+                    # reference ring gate :246-251 — vg is tested at the
+                    # leftover link_pair endpoints (faithful quirk), plus
+                    # the in-bounds check
+                    a, b = last_pair
+                    if (p[2] < joint_thres or vg[a - 1] == 0
+                            or vg[b - 1] == 0):
+                        continue
+                    if p[0] > w or p[1] > h:
+                        continue
+                elif not p[2] > vis_thre:
+                    continue
+                cv2.circle(img, (int(p[0]), int(p[1])), 2,
+                           (255, 255, 255), -1, cv2.LINE_AA)
         out = os.path.join(save_dir, "%012d.jpg" % image_id)
         cv2.imwrite(out, img)
         n += 1

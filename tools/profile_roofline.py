@@ -348,10 +348,26 @@ def analyze(text):
             table[ins.name] = ins
     rows = []
     for ins in comps.get(entry, []):
-        if ins.op in _SKIP_OPS:
+        if ins.op in _SKIP_OPS or ins.op.endswith("-done"):
             continue
         flops, mxu_dt = flops_of(ins, comps, table)
-        nbytes = _hbm_bytes(ins, table)
+        if ins.op.endswith("-start"):
+            # async DMA (copy-start / slice-start / async-start): the
+            # result tuple ALIASES the full source buffer, so naive
+            # operand+result counting multiplies the traffic.  Real HBM
+            # bytes = the transferred extent (the smallest non-sync
+            # result buffer), once if the destination is VMEM (S(1) —
+            # the usual prefetch), twice for HBM->HBM.
+            bufs = [(b, v) for _, _, b, v in _buffers(ins.shape_text)
+                    if b > 16]
+            if bufs:
+                size = min(b for b, _ in bufs)
+                to_vmem = any(v for b, v in bufs if b == size)
+                nbytes = size if to_vmem else 2 * size
+            else:
+                nbytes = 0
+        else:
+            nbytes = _hbm_bytes(ins, table)
         em = _EMITTER_RE.search(ins.line)
         rows.append({
             "name": ins.name, "op": ins.op, "cycles": ins.cycles,

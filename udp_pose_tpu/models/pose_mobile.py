@@ -124,6 +124,12 @@ def _snv2_test(cfg):
             "shufflenetv2_test is a hardcoded offset-head net "
             "(reference backbones/shufflenetv2_test.py:195-201); set "
             "MODEL.TARGET_TYPE: offset in the config")
+    if cfg.MODEL.NUM_JOINTS != 17:
+        raise ValueError(
+            "shufflenetv2_test's head is hardcoded 17*3 channels "
+            "(reference backbones/shufflenetv2_test.py:195-201); a cfg "
+            f"with NUM_JOINTS={cfg.MODEL.NUM_JOINTS} would silently "
+            "build a non-reference head under the parity registry name")
     cfg = cfg.clone()
     cfg.defrost()
     cfg.MODEL.EXTRA.MODEL_SIZE = "1.0x"

@@ -417,12 +417,16 @@ def quantize_for_eval(cfg, model, variables, dataset):
         return model, variables
     import itertools
 
-    from ..core.infer import serving_normalizer
+    from ..core.infer import cast_to_compute_dtype, serving_normalizer
     from ..data.base import epoch_loader
 
     normalize_images = serving_normalizer(cfg)
     n_calib = max(1, cfg.TPU.QUANTIZE_CALIB_BATCHES)
-    batches = (normalize_images(b["image"]) for b in itertools.islice(
+    # amax is measured on the EXACT distribution serving feeds the stem
+    # conv — normalized AND early-cast to the compute dtype (advisor r4:
+    # fp32 calibration vs bf16-cast serving skews the stem's scale)
+    batches = (cast_to_compute_dtype(model, normalize_images(b["image"]))
+               for b in itertools.islice(
         epoch_loader(dataset, cfg.TEST.BATCH_SIZE_PER_GPU, shuffle=False,
                      drop_last=False), n_calib))
     scales = calibrate(model, variables, batches)

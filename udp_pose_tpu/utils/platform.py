@@ -54,7 +54,14 @@ def maybe_enable_compilation_cache(cache_dir: str = ""):
               "reload cached executables (see utils/platform.py)",
               file=sys.stderr)
         return ""
-    d = os.path.abspath(d)
+    # XLA's own cache key covers HLO+flags but NOT the host CPU's
+    # machine features: an XLA:CPU AOT executable compiled on another
+    # host loads here with "could lead to SIGILL" warnings (observed on
+    # the dryrun's warm cache) and can crash outright on a weaker host.
+    # Scoping the directory by a host fingerprint makes a host change
+    # invalidate cleanly instead.
+    d = os.path.join(os.path.abspath(d),
+                     "host-" + host_cache_fingerprint())
     os.makedirs(d, exist_ok=True)
 
     jax.config.update("jax_compilation_cache_dir", d)
@@ -62,3 +69,31 @@ def maybe_enable_compilation_cache(cache_dir: str = ""):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     return d
+
+
+def host_cache_fingerprint(cpuinfo_text: str = None,
+                           versions: tuple = None) -> str:
+    """Stable 12-hex fingerprint of (host CPU feature flags, machine,
+    jax/jaxlib versions) — the compatibility surface of an XLA:CPU AOT
+    executable.  Same host+toolchain → same key; any flag or version
+    change → a fresh cache subdirectory."""
+    import hashlib
+    import platform as _platform
+
+    if cpuinfo_text is None:
+        try:
+            with open("/proc/cpuinfo") as f:
+                cpuinfo_text = f.read()
+        except OSError:
+            cpuinfo_text = ""
+    flags = ""
+    for line in cpuinfo_text.splitlines():
+        if line.startswith(("flags", "Features")):
+            flags = " ".join(sorted(line.split(":", 1)[1].split()))
+            break
+    if versions is None:
+        import jax
+        import jaxlib
+        versions = (jax.__version__, getattr(jaxlib, "__version__", ""))
+    blob = "|".join([flags, _platform.machine(), *versions])
+    return hashlib.sha256(blob.encode()).hexdigest()[:12]
