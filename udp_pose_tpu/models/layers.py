@@ -113,21 +113,24 @@ def add_upsampled(acc, y, factor: int):
 
     The HRNet fuse-add is the hot consumer (hrnet.py): XLA materializes
     ``jnp.repeat``'s broadcast as a standalone full-resolution HBM write
-    (measured on the w32 int8 serving graph: the three last-module
-    ×4-channel fuse upsamples are 100-126 MB broadcasts running at
-    24-30% of their own HBM roofline — tools/profile_roofline.py,
-    DESIGN.md round-5).  Viewing ``acc`` in (factor x factor) blocks is
-    a free row-major bitcast, so the add fusion reads the LOW-res
-    tensor + acc and writes the sum: ~3x less traffic than
-    materialize-then-add.  Elementwise math is bit-identical to
-    ``upsample_nearest(y, factor) + acc`` (same pairs, same order).
+    running at 14-30% of its own HBM roofline (tools/profile_roofline.py;
+    DESIGN.md round-5).  The shipped formulation replicates WIDTH with a
+    concatenate (memcpy-class emitter, writes only the 1/factor-height
+    intermediate) and folds the HEIGHT replication into the add through
+    a free row-major blocked view of ``acc``.  Measured on the isolated
+    w48 last-module fuse-add (48x96x72x192 bf16): repeat 1.83 ms →
+    blocked view 1.27 ms → **concat-w + blocked-h 0.97 ms** (all three
+    bit-identical; asserted in the A/B).  Elementwise math equals
+    ``upsample_nearest(y, factor) + acc`` exactly (same pairs, same
+    order).
     """
     if factor == 1:
         return acc + y
     B, H, W, C = acc.shape
     _, h, w, _ = y.shape
-    xb = acc.reshape(B, h, factor, w, factor, C)
-    out = xb + y[:, :, None, :, None, :]
+    u = jnp.concatenate([y[:, :, :, None, :]] * factor,
+                        axis=3).reshape(B, h, W, C)
+    out = acc.reshape(B, h, factor, W, C) + u[:, :, None, :, :]
     return out.reshape(B, H, W, C)
 
 
