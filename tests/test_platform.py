@@ -61,27 +61,37 @@ def test_env_and_arg_enable(tmp_path, monkeypatch):
         _restore_cache_config(snap)
 
 
-def test_compile_writes_cache_entries(tmp_path, monkeypatch):
-    """A jit compile lands serialized executables in the cache dir."""
-    from udp_pose_tpu.utils.platform import maybe_enable_compilation_cache
-    monkeypatch.delenv("UDP_POSE_COMPILATION_CACHE", raising=False)
-    snap = _snapshot_cache_config()
-    try:
-        d = maybe_enable_compilation_cache(str(tmp_path / "xc"))
-        assert d
-        # CPU-backend compiles of tiny graphs are sub-0.5 s; drop the
-        # threshold so this test's compile qualifies for persistence
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+def test_compile_writes_cache_entries(tmp_path):
+    """A jit compile lands serialized executables in the cache dir.
 
-        @jax.jit
-        def f(x):
-            return jnp.tanh(x) @ x.T + 1.0
+    Runs in a SUBPROCESS: jax initializes the persistent cache once per
+    process at the first cached compile, so any earlier suite test that
+    compiled with a cache dir configured (e.g. an in-process dryrun with
+    the repo-local warm cache) would pin THAT dir and make an in-process
+    version of this test order-dependent."""
+    import subprocess
+    import sys
 
-        f(jnp.ones((32, 32), jnp.float32)).block_until_ready()
-        entries = glob.glob(os.path.join(d, "*"))
-        assert entries, "no persistent-cache entries written"
-    finally:
-        _restore_cache_config(snap)
+    code = f"""
+import glob, os
+import jax, jax.numpy as jnp
+jax.config.update("jax_platforms", "cpu")
+from udp_pose_tpu.utils.platform import maybe_enable_compilation_cache
+os.environ.pop("UDP_POSE_COMPILATION_CACHE", None)
+d = maybe_enable_compilation_cache({str(tmp_path / "xc")!r})
+assert d
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+f = jax.jit(lambda x: jnp.tanh(x) @ x.T + 1.0)
+f(jnp.ones((32, 32), jnp.float32)).block_until_ready()
+assert glob.glob(os.path.join(d, "*")), "no persistent-cache entries"
+print("CACHE_ENTRIES_OK")
+"""
+    p = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert p.returncode == 0 and "CACHE_ENTRIES_OK" in p.stdout, (
+        p.stdout, p.stderr[-1500:])
 
 
 def test_refused_on_axon_relay(tmp_path, monkeypatch, capsys):
